@@ -1,0 +1,387 @@
+"""Shared building blocks for the SR model zoo (TPU-native, NHWC).
+
+Capability parity with the reference's shared blocks
+(/root/reference/models/common.py:7-139): 'same'-padded conv, conv+norm+act
+basic block, frozen DIV2K mean shift, residual block with res_scale, and a
+sub-pixel (pixel-shuffle) upscale block for scale factors {2,3,4,8}.
+
+Design notes (TPU-first, not a translation):
+* NHWC layout everywhere — XLA:TPU's native conv layout; channels ride the
+  lane dimension (128) of the VPU/MXU.
+* Parameters are stored in float32 and cast to a compute ``dtype``
+  (bfloat16 by default on TPU) at call time; XLA fuses the casts into the
+  convolutions.
+* Initialization matches torch's Conv2d default (kaiming-uniform with
+  a=sqrt(5), i.e. U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both kernel and
+  bias) so training dynamics are comparable with the reference recipes.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+# DIV2K training-set RGB statistics (reference models/common.py:61-63).
+DIV2K_RGB_MEAN = (0.4488, 0.4371, 0.4040)
+
+Dtype = Any
+
+
+def _pair(v) -> tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def torch_uniform_init(bound: float) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class Conv2d(nn.Module):
+    """'same'-padded 2D convolution (NHWC) with torch-default init.
+
+    Mirrors the capability of DefaultConv2d (reference models/common.py:7-30):
+    padding='same' keeps H/W, 'valid' means none, and an explicit int pads
+    both sides. Also supports strides for discriminator/projection convs.
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    strides: int | tuple[int, int] = 1
+    padding: str | int | tuple[int, int] = 'same'
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = _pair(self.kernel_size)
+        strides = _pair(self.strides)
+        in_features = x.shape[-1]
+        fan_in = k[0] * k[1] * in_features // self.feature_group_count
+        bound = 1.0 / math.sqrt(fan_in)
+
+        kernel = self.param(
+            'kernel', torch_uniform_init(bound),
+            (*k, in_features // self.feature_group_count, self.features))
+
+        if isinstance(self.padding, str):
+            pad = self.padding.upper()
+            assert pad in ('SAME', 'VALID')
+            padding = pad
+        else:
+            p = _pair(self.padding)
+            padding = ((p[0], p[0]), (p[1], p[1]))
+
+        dtype = self.dtype or x.dtype
+        y = lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=strides, padding=padding,
+            feature_group_count=self.feature_group_count,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+        if self.use_bias:
+            bias = self.param('bias', torch_uniform_init(bound),
+                              (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """Transposed conv matching torch ConvTranspose2d geometry.
+
+    out = (in - 1) * stride - 2 * padding + kernel.  Implemented as an
+    input-dilated convolution with a flipped kernel — the form XLA:TPU
+    lowers efficiently (used by DDBPN's up-projections,
+    reference models/ddbpn.py:10-24).
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int]
+    strides: int | tuple[int, int] = 1
+    padding: int | tuple[int, int] = 0
+    use_bias: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = _pair(self.kernel_size)
+        s = _pair(self.strides)
+        p = _pair(self.padding)
+        in_features = x.shape[-1]
+        # torch ConvTranspose2d init: fan_in computed from the torch weight
+        # layout (in, out, kh, kw) -> fan_in = out * kh * kw... torch actually
+        # uses weight.size(1) * kh * kw = out_channels * k * k.
+        fan_in = self.features * k[0] * k[1]
+        bound = 1.0 / math.sqrt(fan_in)
+
+        kernel = self.param('kernel', torch_uniform_init(bound),
+                            (*k, self.features, in_features))  # HWOI layout
+
+        dtype = self.dtype or x.dtype
+        pad = ((k[0] - 1 - p[0], k[0] - 1 - p[0]),
+               (k[1] - 1 - p[1], k[1] - 1 - p[1]))
+        y = lax.conv_general_dilated(
+            x.astype(dtype),
+            jnp.flip(kernel, axis=(0, 1)).astype(dtype),
+            window_strides=(1, 1), padding=pad,
+            lhs_dilation=s,
+            dimension_numbers=('NHWC', 'HWOI', 'NHWC'))
+        if self.use_bias:
+            bias = self.param('bias', torch_uniform_init(bound),
+                              (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class WNConv2d(nn.Module):
+    """Weight-normalized conv (w = g * v / ||v||), used by WDSR.
+
+    Parity: reference models/wdsr.py:62 wraps every conv in
+    nn.utils.weight_norm; init g = ||v|| so the initial forward equals the
+    plain conv.
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    padding: str | int = 'same'
+    use_bias: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = _pair(self.kernel_size)
+        in_features = x.shape[-1]
+        fan_in = k[0] * k[1] * in_features
+        bound = 1.0 / math.sqrt(fan_in)
+
+        v = self.param('v', torch_uniform_init(bound),
+                       (*k, in_features, self.features))
+        g = self.param(
+            'g', lambda key, shape: jnp.linalg.norm(
+                jax.lax.stop_gradient(v).reshape(-1, self.features), axis=0),
+            (self.features,))
+
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2)) + 1e-12)
+        kernel = v * (g / norm)
+
+        if isinstance(self.padding, str):
+            padding = self.padding.upper()
+        else:
+            p = _pair(self.padding)
+            padding = ((p[0], p[0]), (p[1], p[1]))
+
+        dtype = self.dtype or x.dtype
+        y = lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=(1, 1), padding=padding,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if self.use_bias:
+            bias = self.param('bias', torch_uniform_init(bound),
+                              (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU with 1 or per-channel parameters (torch semantics)."""
+
+    num_parameters: int = 1
+    init_value: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        alpha = self.param(
+            'alpha',
+            lambda key, shape: jnp.full(shape, self.init_value, jnp.float32),
+            (self.num_parameters,))
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+
+def mean_shift(x: jax.Array, sign: int, rgb_range: float = 1.0,
+               rgb_mean: Sequence[float] = DIV2K_RGB_MEAN,
+               rgb_std: Sequence[float] = (1.0, 1.0, 1.0)) -> jax.Array:
+    """Frozen DIV2K mean shift (reference models/common.py:58-71).
+
+    sign=-1 subtracts the dataset mean, sign=+1 adds it back. Pure function
+    (no parameters) — XLA fuses it into the adjacent conv.
+    """
+    mean = jnp.asarray(rgb_mean, dtype=x.dtype)
+    std = jnp.asarray(rgb_std, dtype=x.dtype)
+    return x / std + sign * rgb_range * mean / std
+
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """Sub-pixel convolution rearrangement (torch PixelShuffle semantics).
+
+    NHWC input (..., H, W, C*r*r) -> (..., H*r, W*r, C) with the channel
+    index decomposed as c*r*r + i*r + j (c major), matching torch so that
+    converted checkpoints produce identical images.
+    """
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, i, w, j, c
+    return x.reshape(b, h * r, w * r, c)
+
+
+def pixel_unshuffle(x: jax.Array, r: int) -> jax.Array:
+    """Inverse of :func:`pixel_shuffle` (space_to_depth, c-major)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # b, h, w, c, i, j
+    return x.reshape(b, h // r, w // r, c * r * r)
+
+
+class BasicBlock(nn.Module):
+    """Conv followed by optional norm and activation.
+
+    Parity: reference models/common.py:33-55.  ``norm`` is 'batch' or None;
+    ``act`` is a callable (e.g. nn.relu) or a Module factory (e.g. PReLU).
+    """
+
+    features: int = 64
+    kernel_size: int = 3
+    use_bias: bool = True
+    norm: str | None = None
+    act: Any = nn.relu
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = Conv2d(self.features, self.kernel_size, dtype=self.dtype)(x)
+        if self.norm == 'batch':
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
+        if self.act is not None:
+            act = self.act
+            if isinstance(act, type) and issubclass(act, nn.Module):
+                act = act()
+            x = act(x)
+        return x
+
+
+class ResBlock(nn.Module):
+    """Residual block: [conv (+norm) (+act)] x n, last conv without act,
+    output scaled by res_scale and added to the input.
+
+    Parity: reference models/common.py:74-109.
+    """
+
+    n_feats: int = 64
+    kernel_size: int = 3
+    n_conv_layers: int = 2
+    use_bias: bool = True
+    norm: str | None = None
+    act: Any = nn.relu
+    res_scale: float = 1.0
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        res = x
+        for i in range(self.n_conv_layers):
+            res = Conv2d(self.n_feats, self.kernel_size,
+                         use_bias=self.use_bias, dtype=self.dtype)(res)
+            if self.norm == 'batch':
+                res = nn.BatchNorm(use_running_average=not train,
+                                   momentum=0.9, epsilon=1e-5,
+                                   dtype=self.dtype)(res)
+            if self.act is not None and i < self.n_conv_layers - 1:
+                act = self.act
+                if isinstance(act, type) and issubclass(act, nn.Module):
+                    act = act()
+                res = act(res)
+        return res * self.res_scale + x
+
+
+class UpscaleBlock(nn.Module):
+    """Sub-pixel upscaling for scale factors {2, 3, 4, 8}.
+
+    Parity: reference models/common.py:112-139 — log2(scale) rounds of
+    conv(n_feats -> n_feats*r^2) + pixel shuffle (r=3 for scale 3).
+    """
+
+    scale_factor: int = 4
+    n_feats: int = 64
+    kernel_size: int = 3
+    act: Any = None
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert self.scale_factor in (2, 3, 4, 8), \
+            f'scale_factor must be in {{2,3,4,8}}, got {self.scale_factor}'
+        for _ in range(int(math.log2(self.scale_factor))):
+            r = 2 if self.scale_factor % 2 == 0 else 3
+            x = Conv2d(self.n_feats * r * r, self.kernel_size,
+                       dtype=self.dtype)(x)
+            x = pixel_shuffle(x, r)
+            if self.act is not None:
+                act = self.act
+                if isinstance(act, type) and issubclass(act, nn.Module):
+                    act = act()
+                x = act(x)
+        return x
+
+
+def _cubic_kernel(t, a: float):
+    """Keys cubic convolution kernel with free parameter a."""
+    import numpy as np
+    t = np.abs(t)
+    t2, t3 = t * t, t * t * t
+    w = np.where(t <= 1, (a + 2) * t3 - (a + 3) * t2 + 1,
+                 np.where(t < 2, a * t3 - 5 * a * t2 + 8 * a * t - 4 * a, 0.0))
+    return w
+
+
+def resize_matrix(in_size: int, out_size: int, a: float = -0.75,
+                  antialias: bool = True):
+    """Dense (out_size, in_size) bicubic interpolation matrix.
+
+    Matches torch F.interpolate(mode='bicubic', align_corners=False) for
+    a=-0.75 and PIL Image.BICUBIC for a=-0.5 (with antialias on downscale).
+    Computed in numpy at trace time; applying it is a matmul per axis, which
+    maps onto the MXU — the TPU-native form of the reference's pre-upsample
+    in SRCNN (reference models/srcnn.py:25-27).
+    """
+    import numpy as np
+    scale = out_size / in_size
+    support_scale = max(1.0 / scale, 1.0) if antialias and scale < 1 else 1.0
+    support = 2.0 * support_scale
+    out_coords = (np.arange(out_size) + 0.5) / scale - 0.5
+    left = np.floor(out_coords - support).astype(np.int64) + 1
+    n_taps = int(np.ceil(support)) * 2 + 2
+    idx = left[:, None] + np.arange(n_taps)[None, :]
+    weights = _cubic_kernel((out_coords[:, None] - idx) / support_scale, a)
+    if antialias:
+        # PIL border convention: out-of-range taps are dropped and the
+        # remaining weights renormalized.
+        weights = np.where((idx >= 0) & (idx < in_size), weights, 0.0)
+    weights = weights / np.maximum(weights.sum(axis=1, keepdims=True), 1e-12)
+    # torch border convention (antialias=False): clamp == edge replication.
+    idx = np.clip(idx, 0, in_size - 1)
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    np.add.at(mat, (np.repeat(np.arange(out_size), n_taps), idx.ravel()),
+              weights.ravel().astype(np.float32))
+    return mat
+
+
+def bicubic_resize(x: jax.Array, out_hw: tuple[int, int], a: float = -0.75,
+                   antialias: bool = True) -> jax.Array:
+    """Bicubic resize of NHWC images via two MXU matmuls (static shapes)."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    mh = jnp.asarray(resize_matrix(h, oh, a, antialias), dtype=jnp.float32)
+    mw = jnp.asarray(resize_matrix(w, ow, a, antialias), dtype=jnp.float32)
+    y = jnp.einsum('oh,bhwc->bowc', mh, x.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum('pw,bhwc->bhpc', mw, y,
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)

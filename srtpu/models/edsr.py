@@ -1,0 +1,46 @@
+"""EDSR — deep residual SR network without batch norm.
+
+Capability parity with reference models/edsr.py:9-54: mean-shift in/out,
+head conv, n_resblocks ResBlocks (+ closing conv) with a global skip, and a
+sub-pixel upscale tail. Flagship model for the TPU build (BASELINE.json
+config 2: EDSR-baseline = 16 resblocks, 64 features, x4).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from flax import linen as nn
+
+from .common import Conv2d, ResBlock, UpscaleBlock, mean_shift
+
+
+class EDSR(nn.Module):
+    scale_factor: int = 4
+    channels: int = 3
+    n_feats: int = 64
+    n_resblocks: int = 16
+    res_scale: float = 1.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.channels == 3:
+            x = mean_shift(x, sign=-1)
+
+        x = Conv2d(self.n_feats, 3, dtype=self.dtype)(x)
+
+        res = x
+        for _ in range(self.n_resblocks):
+            res = ResBlock(n_feats=self.n_feats, kernel_size=3,
+                           res_scale=self.res_scale, dtype=self.dtype)(res)
+        res = Conv2d(self.n_feats, 3, dtype=self.dtype)(res)
+        x = res + x
+
+        x = UpscaleBlock(self.scale_factor, self.n_feats,
+                         dtype=self.dtype)(x)
+        x = Conv2d(self.channels, 3, dtype=self.dtype)(x)
+
+        if self.channels == 3:
+            x = mean_shift(x, sign=1)
+        return x
