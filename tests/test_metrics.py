@@ -1,0 +1,108 @@
+"""Metric suite tests: golden values, masking, registry parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srtpu.metrics import (LOWER_IS_BETTER, NO_REFERENCE, build_metrics,
+                           ms_ssim, psnr, ssim, supported_metrics)
+
+
+def _imgs(seed=0, shape=(1, 96, 96, 3)):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return (jax.random.uniform(k1, shape), jax.random.uniform(k2, shape))
+
+
+def test_supported_metrics_match_reference():
+    # reference models/srmodel.py:47-54
+    assert supported_metrics() == ['BRISQUE', 'FLIP', 'LPIPS', 'MS-SSIM',
+                                   'PSNR', 'SSIM']
+    assert NO_REFERENCE == {'BRISQUE'}
+    assert 'PSNR' not in LOWER_IS_BETTER
+
+
+def test_psnr_golden():
+    sr = jnp.full((1, 8, 8, 3), 0.5)
+    hr = jnp.full((1, 8, 8, 3), 0.4)
+    expected = 10 * np.log10(1.0 / 0.1 ** 2)
+    assert np.isclose(float(psnr(sr, hr)), expected, atol=1e-4)
+
+
+def test_psnr_batch_mean_semantics():
+    # per-image psnr then mean (piq reduction='mean')
+    sr = jnp.stack([jnp.full((8, 8, 3), 0.5), jnp.full((8, 8, 3), 0.6)])
+    hr = jnp.full((2, 8, 8, 3), 0.4)
+    p1 = 10 * np.log10(1 / 0.1 ** 2)
+    p2 = 10 * np.log10(1 / 0.2 ** 2)
+    assert np.isclose(float(psnr(sr, hr)), (p1 + p2) / 2, atol=1e-3)
+
+
+def test_ssim_identity_and_monotonic():
+    x, _ = _imgs()
+    assert float(ssim(x, x)) > 0.9999
+    n1 = jnp.clip(x + 0.05 * jax.random.normal(jax.random.PRNGKey(3),
+                                               x.shape), 0, 1)
+    n2 = jnp.clip(x + 0.3 * jax.random.normal(jax.random.PRNGKey(3),
+                                              x.shape), 0, 1)
+    assert float(ssim(x, n2)) < float(ssim(x, n1)) < 1.0
+
+
+def test_ssim_matches_reference_formula_on_constant_shift():
+    # For constant images, ssim = (2ab+c1)/(a^2+b^2+c1) exactly
+    a, b = 0.5, 0.6
+    sr = jnp.full((1, 32, 32, 1), a)
+    hr = jnp.full((1, 32, 32, 1), b)
+    c1 = 0.01 ** 2
+    expected = (2 * a * b + c1) / (a * a + b * b + c1)
+    # atol bounded by float32 variance roundoff in the cs term
+    assert np.isclose(float(ssim(sr, hr)), expected, atol=1e-4)
+
+
+def test_ms_ssim_identity():
+    x, _ = _imgs(shape=(1, 192, 192, 3))
+    assert float(ms_ssim(x, x)) > 0.999
+
+
+def test_masked_psnr_equals_unpadded():
+    x, y = _imgs(shape=(1, 40, 40, 3))
+    base = float(psnr(x, y))
+    xp = jnp.pad(x, ((0, 0), (0, 24), (0, 8), (0, 0)))
+    yp = jnp.pad(y, ((0, 0), (0, 24), (0, 8), (0, 0)))
+    mask = jnp.zeros((1, 64, 48, 1)).at[:, :40, :40, :].set(1.0)
+    assert np.isclose(float(psnr(xp, yp, mask=mask)), base, atol=1e-4)
+
+
+def test_masked_ssim_close_to_unpadded():
+    x, y = _imgs(shape=(1, 48, 48, 3))
+    base = float(ssim(x, y))
+    xp = jnp.pad(x, ((0, 0), (0, 16), (0, 16), (0, 0)))
+    yp = jnp.pad(y, ((0, 0), (0, 16), (0, 16), (0, 0)))
+    mask = jnp.zeros((1, 64, 64, 1)).at[:, :48, :48, :].set(1.0)
+    # boundary windows straddle the pad; valid-window masking keeps the
+    # score within a small tolerance of the unpadded value
+    assert abs(float(ssim(xp, yp, mask=mask)) - base) < 5e-3
+
+
+def test_build_metrics_all():
+    metrics = build_metrics(['PSNR', 'SSIM', 'MS-SSIM', 'FLIP', 'BRISQUE'])
+    sr, hr = _imgs(shape=(1, 192, 192, 3))
+    for name, fn in metrics.items():
+        if name in NO_REFERENCE:
+            v = fn(sr)
+        else:
+            v = fn(sr, hr)
+        assert np.isfinite(float(v)), name
+
+
+def test_build_metrics_unknown_raises():
+    with pytest.raises(AttributeError, match="Couldn't find metric"):
+        build_metrics(['NOPE'])
+
+
+def test_brisque_features_shape():
+    from srtpu.metrics import brisque_features
+    x, _ = _imgs(shape=(2, 64, 64, 3))
+    f = brisque_features(x)
+    assert f.shape == (2, 36)
+    assert np.all(np.isfinite(np.asarray(f)))
