@@ -70,6 +70,13 @@ def _ssim_per_channel(sr, hr, kernel, k1=0.01, k2=0.03, data_range=1.0):
     return ssim_map, cs
 
 
+def _window_valid(mask: jax.Array, kernel_size: int) -> jax.Array:
+    """A window is valid iff every covered pixel is valid (min-pool)."""
+    return jax.lax.reduce_window(
+        mask, jnp.inf, jax.lax.min,
+        (1, kernel_size, kernel_size, 1), (1, 1, 1, 1), 'VALID')
+
+
 def ssim(sr: jax.Array, hr: jax.Array, data_range: float = 1.0,
          kernel_size: int = 11, kernel_sigma: float = 1.5,
          mask: jax.Array | None = None) -> jax.Array:
@@ -79,8 +86,7 @@ def ssim(sr: jax.Array, hr: jax.Array, data_range: float = 1.0,
     kernel = jnp.asarray(_gaussian_kernel(kernel_size, kernel_sigma))
     ssim_map, _ = _ssim_per_channel(sr, hr, kernel, data_range=data_range)
     if mask is not None:
-        crop = kernel_size // 2
-        m = mask[:, crop:mask.shape[1] - crop, crop:mask.shape[2] - crop, :]
+        m = _window_valid(mask, kernel_size)
         return jnp.mean(_masked_mean(ssim_map, m, axis=(1, 2, 3)))
     return jnp.mean(ssim_map)
 
@@ -99,7 +105,6 @@ def ms_ssim(sr: jax.Array, hr: jax.Array, data_range: float = 1.0,
     hr = hr.astype(jnp.float32)
     kernel = jnp.asarray(_gaussian_kernel(kernel_size, kernel_sigma))
     weights = jnp.asarray(weights, jnp.float32)
-    crop = kernel_size // 2
 
     def pool(x):
         return jax.lax.reduce_window(
@@ -112,7 +117,7 @@ def ms_ssim(sr: jax.Array, hr: jax.Array, data_range: float = 1.0,
                                          data_range=data_range)
         mc = None
         if m is not None:
-            mc = m[:, crop:m.shape[1] - crop, crop:m.shape[2] - crop, :]
+            mc = _window_valid(m, kernel_size)
         if i == len(weights) - 1:
             vals.append(jnp.mean(_masked_mean(ssim_map, mc, axis=(1, 2, 3))))
         else:
