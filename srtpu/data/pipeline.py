@@ -1,0 +1,225 @@
+"""Host-side data pipeline: patch sampling, augmentation, batching,
+double-buffered device prefetch, per-host sharding.
+
+Capability parity with the reference's item path (srdata.py:57-169):
+aligned random LR/HR patch crops (LR coords x scale -> HR coords), 8-way
+augmentation (rot {0,90,180,270} + hflip + vflip), eval center-crop to a
+multiple of scale, LR/HR size reconciliation.
+
+TPU-native design:
+* training batches have ONE static shape (batch, patch/scale, patch/scale, C)
+  so the train step compiles once;
+* eval images are padded up to shape buckets (multiples of ``bucket``) with a
+  validity mask so XLA compiles a handful of shapes instead of one per image
+  (SURVEY.md §7 hard part 1), and metrics are computed masked;
+* a background thread overlaps decode/augment with device compute and
+  transfers batches with an explicit sharding (data-parallel layouts ride
+  this path — reference delegates this to DDP samplers, srdata.py:427,
+  all.yml:127).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from .sources import Source
+
+
+@dataclass
+class Batch:
+    lr: np.ndarray
+    hr: np.ndarray | None
+    mask: np.ndarray | None = None   # NHW1 validity of HR/SR pixels
+    names: tuple[str, ...] = ()
+    hr_size: tuple[int, int] | None = None  # original (unpadded) HR size
+
+
+def random_patch(lr: np.ndarray, hr: np.ndarray, patch_size: int, scale: int,
+                 rng: np.random.Generator):
+    """Aligned random crop (reference srdata.py:137-169 semantics)."""
+    assert patch_size % scale == 0, \
+        f'patch size ({patch_size}) must be divisible by scale ({scale})'
+    lp = patch_size // scale
+    lh, lw = lr.shape[:2]
+    x = rng.integers(0, lh - lp + 1)
+    y = rng.integers(0, lw - lp + 1)
+    lr_patch = lr[x:x + lp, y:y + lp]
+    hr_patch = hr[scale * x:scale * x + patch_size,
+                  scale * y:scale * y + patch_size]
+    return lr_patch, hr_patch
+
+
+def augment_pair(lr: np.ndarray, hr: np.ndarray, rng: np.random.Generator):
+    """rot90 k in {0..3} + hflip + vflip (reference srdata.py:77-91)."""
+    k = int(rng.integers(0, 4))
+    if k:
+        lr, hr = np.rot90(lr, k, axes=(0, 1)), np.rot90(hr, k, axes=(0, 1))
+    if rng.integers(0, 2):
+        lr, hr = lr[:, ::-1], hr[:, ::-1]
+    if rng.integers(0, 2):
+        lr, hr = lr[::-1, :], hr[::-1, :]
+    return lr, hr
+
+
+def reconcile_eval_pair(lr: np.ndarray, hr: np.ndarray, scale: int):
+    """Center-crop HR to a multiple of scale and LR to HR/scale
+    (reference srdata.py:101-112)."""
+    hh, hw = hr.shape[:2]
+    th, tw = hh - hh % scale, hw - hw % scale
+    if (th, tw) != (hh, hw):
+        top, left = (hh - th) // 2, (hw - tw) // 2
+        hr = hr[top:top + th, left:left + tw]
+    lh, lw = lr.shape[:2]
+    tlh, tlw = th // scale, tw // scale
+    if (lh, lw) != (tlh, tlw):
+        top, left = max((lh - tlh) // 2, 0), max((lw - tlw) // 2, 0)
+        lr = lr[top:top + tlh, left:left + tlw]
+    return lr, hr
+
+
+def pad_to_bucket(img: np.ndarray, bucket: int):
+    """Pad H/W up to the next multiple of ``bucket`` (edge padding keeps
+    conv statistics sane at the seam). Returns (padded, (h, w))."""
+    h, w = img.shape[:2]
+    ph = (h + bucket - 1) // bucket * bucket
+    pw = (w + bucket - 1) // bucket * bucket
+    if (ph, pw) == (h, w):
+        return img, (h, w)
+    padded = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)), mode='edge')
+    return padded, (h, w)
+
+
+class TrainLoader:
+    """Shuffled epoch iterator with static batch shape and device prefetch."""
+
+    def __init__(self, source: Source, batch_size: int, patch_size: int,
+                 scale_factor: int, augment: bool = True, seed: int = 0,
+                 sharding=None, prefetch: int = 2,
+                 drop_remainder: bool = True):
+        self._source = source
+        self._batch = batch_size
+        self._patch = patch_size
+        self._scale = scale_factor
+        self._augment = augment
+        self._seed = seed
+        self._sharding = sharding
+        self._prefetch = prefetch
+        self._drop = drop_remainder
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self._source)
+        return n // self._batch if self._drop else \
+            (n + self._batch - 1) // self._batch
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _make_batch(self, indices, rng) -> Batch:
+        lrs, hrs, names = [], [], []
+        for i in indices:
+            lr, hr, name = self._source.get(int(i))
+            if hr is None:
+                raise ValueError(f'No HR image for {name}')
+            lr_p, hr_p = random_patch(lr, hr, self._patch, self._scale, rng)
+            if self._augment:
+                lr_p, hr_p = augment_pair(lr_p, hr_p, rng)
+            lrs.append(np.ascontiguousarray(lr_p))
+            hrs.append(np.ascontiguousarray(hr_p))
+            names.append(name)
+        return Batch(lr=np.stack(lrs), hr=np.stack(hrs), names=tuple(names))
+
+    def __iter__(self):
+        rng = np.random.default_rng((self._seed, self._epoch))
+        order = rng.permutation(len(self._source))
+        n_batches = len(self)
+        if n_batches == 0:
+            return
+
+        def producer(q):
+            try:
+                for b in range(n_batches):
+                    idx = order[b * self._batch:(b + 1) * self._batch]
+                    if len(idx) < self._batch:
+                        if self._drop:
+                            break
+                        idx = np.concatenate(
+                            [idx, order[:self._batch - len(idx)]])
+                    batch = self._make_batch(idx, rng)
+                    lr, hr = batch.lr, batch.hr
+                    if self._sharding is not None:
+                        lr = jax.device_put(lr, self._sharding)
+                        hr = jax.device_put(hr, self._sharding)
+                    q.put(Batch(lr=lr, hr=hr, names=batch.names))
+            except BaseException as e:  # surface worker errors to consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=self._prefetch)
+        thread = threading.Thread(target=producer, args=(q,), daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            self._epoch += 1
+
+
+class EvalLoader:
+    """Per-image loader (batch 1) with shape bucketing + validity masks."""
+
+    def __init__(self, source: Source, scale_factor: int, bucket: int = 32,
+                 patch_size: int = 0, mode: str = 'eval'):
+        self._source = source
+        self._scale = scale_factor
+        self._bucket = max(bucket, 1)
+        self._patch = patch_size
+        self._mode = mode
+
+    def __len__(self):
+        return len(self._source)
+
+    def __iter__(self):
+        for i in range(len(self._source)):
+            lr, hr, name = self._source.get(i)
+            if self._mode == 'predict':
+                lr_p, (h, w) = pad_to_bucket(lr, self._bucket)
+                yield Batch(lr=lr_p[None], hr=None,
+                            mask=None, names=(name,),
+                            hr_size=(h * self._scale, w * self._scale))
+                continue
+
+            if hr is None:
+                raise ValueError(f'No HR image for {name}')
+            if self._patch > 0:
+                # center-crop eval patches (reference srdata.py:97-99)
+                from srtpu.utils.imgops import center_crop  # noqa: F401
+                hh, hw = hr.shape[:2]
+                th = tw = self._patch
+                top, left = (hh - th) // 2, (hw - tw) // 2
+                hr = hr[top:top + th, left:left + tw]
+                lp = self._patch // self._scale
+                lh, lw = lr.shape[:2]
+                top, left = (lh - lp) // 2, (lw - lp) // 2
+                lr = lr[top:top + lp, left:left + lp]
+            else:
+                lr, hr = reconcile_eval_pair(lr, hr, self._scale)
+
+            lr_p, (h, w) = pad_to_bucket(lr, self._bucket)
+            hr_p, _ = pad_to_bucket(hr, self._bucket * self._scale)
+            hs, ws = h * self._scale, w * self._scale
+            mask = np.zeros(hr_p.shape[:2] + (1,), np.float32)
+            mask[:hs, :ws] = 1.0
+            yield Batch(lr=lr_p[None], hr=hr_p[None], mask=mask[None],
+                        names=(name,), hr_size=(hs, ws))

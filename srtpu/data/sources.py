@@ -1,0 +1,205 @@
+"""Dataset sources: image directories, .npy directories, HuggingFace hub.
+
+Capability parity with the reference's three dataset classes
+(reference srdata.py:172-354):
+* ImageFolderSource  — image dir with extension filter; HR-only dirs get
+  bicubic LR synthesis on the fly (srdata.py:227-233);
+* NpySource          — .npy dirs (srdata.py:253-330);
+* HuggingFaceSource  — eugenesiow/* LR+HR file-path datasets
+  (srdata.py:333-354).
+
+A source yields decoded float32 HWC arrays in [0,1]; patching/augmenting/
+batching live in srtpu.data.pipeline (host side), device transfer in the
+loader. Eval sources cache decoded images in RAM — benchmark eval sets are
+tiny and re-read every validation epoch.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+_logger = logging.getLogger(__name__)
+
+IMG_EXTENSIONS = {'.jpg', '.jpeg', '.png', '.ppm', '.bmp'}
+
+# reference srdata.py:392-417 name mapping
+HF_DATASET_NAMES = {
+    'DIV2K': 'eugenesiow/Div2k',
+    'B100': 'eugenesiow/BSD100',
+    'Set5': 'eugenesiow/Set5',
+    'Set14': 'eugenesiow/Set14',
+    'Urban100': 'eugenesiow/Urban100',
+}
+
+
+def _to_float(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype == np.uint8:
+        return arr.astype(np.float32) / 255.0
+    if arr.dtype == np.uint16:
+        return arr.astype(np.float32) / 65535.0
+    return arr.astype(np.float32)
+
+
+def _load_image(path) -> np.ndarray:
+    from PIL import Image
+    with Image.open(path) as im:
+        return _to_float(np.asarray(im.convert('RGB')))
+
+
+def bicubic_downscale(hr: np.ndarray, scale: int) -> np.ndarray:
+    """PIL-equivalent bicubic downscale for LR synthesis
+    (reference srdata.py:227-233 uses torchvision's PIL-backed resize)."""
+    from PIL import Image
+    h, w = hr.shape[:2]
+    img = Image.fromarray(
+        (np.clip(hr, 0, 1) * 255.0 + 0.5).astype(np.uint8))
+    lr = img.resize((w // scale, h // scale), Image.BICUBIC)
+    return _to_float(np.asarray(lr))
+
+
+class Source:
+    """Interface: len() items; get(i) -> (lr, hr|None, name)."""
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def get(self, index: int):
+        raise NotImplementedError
+
+
+class _CachedSource(Source):
+    def __init__(self, cache: bool = False):
+        self._cache_enabled = cache
+        self._cache: dict[int, tuple] = {}
+
+    def get(self, index: int):
+        if self._cache_enabled and index in self._cache:
+            return self._cache[index]
+        item = self._load(index)
+        if self._cache_enabled:
+            self._cache[index] = item
+        return item
+
+    def _load(self, index: int):
+        raise NotImplementedError
+
+
+class ImageFolderSource(_CachedSource):
+    def __init__(self, hr_dir=None, lr_dir=None, scale_factor: int = 4,
+                 mode: str = 'train', cache: bool = False,
+                 extensions=IMG_EXTENSIONS):
+        super().__init__(cache)
+        assert hr_dir is not None or mode == 'predict'
+        assert lr_dir is not None or mode != 'predict'
+        self._scale = scale_factor
+        self._mode = mode
+
+        def list_dir(d):
+            if d is None:
+                return None
+            files = [f for f in Path(d).glob('*')
+                     if f.suffix.lower() in extensions]
+            return sorted(files) if mode != 'train' else sorted(files)
+
+        self._hr_files = list_dir(hr_dir)
+        self._lr_files = list_dir(lr_dir)
+        if self._hr_files is not None and self._lr_files is not None:
+            assert len(self._hr_files) == len(self._lr_files), \
+                f'LR/HR count mismatch: {len(self._lr_files)} vs ' \
+                f'{len(self._hr_files)}'
+
+    def __len__(self):
+        files = self._hr_files if self._hr_files is not None \
+            else self._lr_files
+        if files is None:
+            raise RuntimeError('No data available')
+        return len(files)
+
+    def _load(self, index):
+        if self._mode == 'predict':
+            path = self._lr_files[index]
+            return _load_image(path), None, path.stem
+        path = self._hr_files[index]
+        hr = _load_image(path)
+        if self._lr_files is not None:
+            lr = _load_image(self._lr_files[index])
+        else:
+            lr = bicubic_downscale(hr, self._scale)
+        return lr, hr, path.stem
+
+
+class NpySource(_CachedSource):
+    def __init__(self, hr_dir=None, lr_dir=None, scale_factor: int = 4,
+                 mode: str = 'train', cache: bool = False,
+                 extensions={'.npy'}):
+        super().__init__(cache)
+        assert hr_dir is not None or mode == 'predict'
+        self._scale = scale_factor
+        self._mode = mode
+
+        def list_dir(d):
+            if d is None:
+                return None
+            return sorted(f for f in Path(d).glob('*')
+                          if f.suffix.lower() in extensions)
+
+        self._hr_files = list_dir(hr_dir)
+        self._lr_files = list_dir(lr_dir)
+
+    def __len__(self):
+        files = self._hr_files if self._hr_files is not None \
+            else self._lr_files
+        if files is None:
+            raise RuntimeError('No data available')
+        return len(files)
+
+    def _load(self, index):
+        if self._mode == 'predict':
+            path = self._lr_files[index]
+            return _to_float(np.load(path)), None, path.stem
+        path = self._hr_files[index]
+        hr = _to_float(np.load(path))
+        if self._lr_files is not None:
+            lr = _to_float(np.load(self._lr_files[index]))
+        else:
+            lr = bicubic_downscale(hr, self._scale)
+        return lr, hr, path.stem
+
+
+class HuggingFaceSource(_CachedSource):
+    """eugenesiow/* datasets expose 'lr'/'hr' file-path columns
+    (reference srdata.py:346-349)."""
+
+    def __init__(self, name: str, scale_factor: int = 4,
+                 split: str = 'train', cache: bool = False):
+        super().__init__(cache)
+        from datasets import load_dataset
+        self._dataset = load_dataset(name, f'bicubic_x{scale_factor}',
+                                     split=split)
+
+    def __len__(self):
+        return len(self._dataset)
+
+    def _load(self, index):
+        item = self._dataset[index]
+        lr = _load_image(item['lr'])
+        hr = _load_image(item['hr'])
+        return lr, hr, Path(item['hr']).stem
+
+
+class ConcatSource(Source):
+    """Concatenation of sources (reference ConcatDataset, srdata.py:463)."""
+
+    def __init__(self, sources: list[Source]):
+        self._sources = sources
+        self._offsets = np.cumsum([0] + [len(s) for s in sources])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def get(self, index):
+        src = int(np.searchsorted(self._offsets, index, side='right')) - 1
+        return self._sources[src].get(index - int(self._offsets[src]))

@@ -1,0 +1,197 @@
+"""Data pipeline tests with synthetic on-disk datasets."""
+
+import numpy as np
+import pytest
+
+from srtpu.data import (ConcatSource, EvalLoader, ImageFolderSource,
+                        NpySource, SRData, TrainLoader, augment_pair,
+                        pad_to_bucket, random_patch, reconcile_eval_pair)
+
+
+@pytest.fixture(scope='module')
+def image_dataset(tmp_path_factory):
+    """datasets/Tiny/{HR, LR/X2} with 6 images of varying sizes."""
+    from PIL import Image
+    root = tmp_path_factory.mktemp('datasets')
+    hr_dir = root / 'Tiny' / 'HR'
+    lr_dir = root / 'Tiny' / 'LR' / 'X2'
+    hr_dir.mkdir(parents=True)
+    lr_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        h, w = 48 + 2 * i, 64 + 4 * i
+        hr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(hr).save(hr_dir / f'img{i:02d}.png')
+        lr = np.asarray(Image.fromarray(hr).resize((w // 2, h // 2),
+                                                   Image.BICUBIC))
+        Image.fromarray(lr).save(lr_dir / f'img{i:02d}.png')
+    # HR-only dataset (LR synthesized on the fly)
+    hr_only = root / 'HROnly' / 'HR'
+    hr_only.mkdir(parents=True)
+    for i in range(3):
+        hr = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+        Image.fromarray(hr).save(hr_only / f'h{i}.png')
+    # npy dataset
+    npy_dir = root / 'Npy' / 'HR'
+    npy_dir.mkdir(parents=True)
+    for i in range(3):
+        np.save(npy_dir / f'n{i}.npy',
+                (rng.random((32, 32, 3)) * 255).astype(np.uint8))
+    return root
+
+
+def test_image_folder_source_paired(image_dataset):
+    src = ImageFolderSource(hr_dir=image_dataset / 'Tiny' / 'HR',
+                            lr_dir=image_dataset / 'Tiny' / 'LR' / 'X2',
+                            scale_factor=2, mode='eval')
+    assert len(src) == 6
+    lr, hr, name = src.get(0)
+    assert name == 'img00'
+    assert hr.shape == (48, 64, 3) and lr.shape == (24, 32, 3)
+    assert hr.dtype == np.float32 and 0 <= hr.min() and hr.max() <= 1
+
+
+def test_image_folder_source_synthesizes_lr(image_dataset):
+    src = ImageFolderSource(hr_dir=image_dataset / 'HROnly' / 'HR',
+                            scale_factor=4, mode='train')
+    lr, hr, _ = src.get(0)
+    assert hr.shape == (40, 40, 3) and lr.shape == (10, 10, 3)
+
+
+def test_npy_source(image_dataset):
+    src = NpySource(hr_dir=image_dataset / 'Npy' / 'HR', scale_factor=2)
+    lr, hr, name = src.get(1)
+    assert hr.shape == (32, 32, 3) and lr.shape == (16, 16, 3)
+    assert name == 'n1'
+
+
+def test_concat_source(image_dataset):
+    a = ImageFolderSource(hr_dir=image_dataset / 'Tiny' / 'HR',
+                          scale_factor=2)
+    b = NpySource(hr_dir=image_dataset / 'Npy' / 'HR', scale_factor=2)
+    c = ConcatSource([a, b])
+    assert len(c) == 9
+    assert c.get(6)[2] == 'n0'
+
+
+def test_random_patch_alignment():
+    rng = np.random.default_rng(0)
+    hr = np.arange(64 * 64 * 3, dtype=np.float32).reshape(64, 64, 3)
+    lr = hr[::2, ::2]  # fake aligned LR
+    for _ in range(10):
+        lr_p, hr_p = random_patch(lr, hr, 16, 2, rng)
+        assert lr_p.shape == (8, 8, 3) and hr_p.shape == (16, 16, 3)
+        # alignment: hr patch at 2x lr coords
+        assert hr_p[0, 0, 0] == lr_p[0, 0, 0]
+
+
+def test_patch_divisibility_assert():
+    rng = np.random.default_rng(0)
+    x = np.zeros((16, 16, 3))
+    with pytest.raises(AssertionError, match='divisible'):
+        random_patch(x, x, 15, 2, rng)
+
+
+def test_augment_applies_same_transform_to_both():
+    rng = np.random.default_rng(3)
+    hr = np.random.rand(16, 16, 3).astype(np.float32)
+    lr = np.random.rand(8, 8, 3).astype(np.float32)
+
+    def transforms(x):
+        out = {}
+        for k in range(4):
+            r = np.rot90(x, k, axes=(0, 1))
+            for hf in (False, True):
+                h = r[:, ::-1] if hf else r
+                for vf in (False, True):
+                    out[(k, hf, vf)] = h[::-1, :] if vf else h
+        return out
+
+    seen = set()
+    for _ in range(32):
+        lr_a, hr_a = augment_pair(lr, hr, rng)
+        hr_t = transforms(hr)
+        lr_t = transforms(lr)
+        matches = [key for key, v in hr_t.items()
+                   if v.shape == hr_a.shape and np.allclose(v, hr_a)]
+        assert matches, 'augmented HR is not one of the 16 transforms'
+        assert any(np.allclose(lr_t[m], lr_a) for m in matches), \
+            'LR did not receive the same transform as HR'
+        seen.add(matches[0])
+    assert len(seen) > 4  # augmentation actually varies
+
+
+def test_reconcile_eval_pair():
+    hr = np.random.rand(49, 50, 3).astype(np.float32)
+    lr = np.random.rand(12, 12, 3).astype(np.float32)
+    lr2, hr2 = reconcile_eval_pair(lr, hr, 4)
+    assert hr2.shape[:2] == (48, 48)
+    assert lr2.shape[:2] == (12, 12)
+
+
+def test_pad_to_bucket():
+    img = np.random.rand(30, 45, 3).astype(np.float32)
+    padded, (h, w) = pad_to_bucket(img, 32)
+    assert padded.shape[:2] == (32, 64) and (h, w) == (30, 45)
+    assert np.allclose(padded[:30, :45], img)
+
+
+def test_train_loader_static_shapes(image_dataset):
+    src = ImageFolderSource(hr_dir=image_dataset / 'Tiny' / 'HR',
+                            lr_dir=image_dataset / 'Tiny' / 'LR' / 'X2',
+                            scale_factor=2, mode='train')
+    loader = TrainLoader(src, batch_size=3, patch_size=16, scale_factor=2,
+                         seed=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert np.asarray(b.lr).shape == (3, 8, 8, 3)
+        assert np.asarray(b.hr).shape == (3, 16, 16, 3)
+
+
+def test_train_loader_deterministic_and_epoch_varying(image_dataset):
+    src = ImageFolderSource(hr_dir=image_dataset / 'Tiny' / 'HR',
+                            lr_dir=image_dataset / 'Tiny' / 'LR' / 'X2',
+                            scale_factor=2, mode='train')
+
+    def first_batch(seed, epoch):
+        loader = TrainLoader(src, 2, 16, 2, seed=seed)
+        loader.set_epoch(epoch)
+        return np.asarray(next(iter(loader)).lr)
+
+    assert np.allclose(first_batch(0, 0), first_batch(0, 0))
+    assert not np.allclose(first_batch(0, 0), first_batch(0, 1))
+
+
+def test_eval_loader_masks(image_dataset):
+    src = ImageFolderSource(hr_dir=image_dataset / 'Tiny' / 'HR',
+                            lr_dir=image_dataset / 'Tiny' / 'LR' / 'X2',
+                            scale_factor=2, mode='eval', cache=True)
+    loader = EvalLoader(src, scale_factor=2, bucket=32)
+    for b in loader:
+        assert b.lr.shape[1] % 32 == 0 and b.lr.shape[2] % 32 == 0
+        assert b.hr.shape[1] == b.lr.shape[1] * 2
+        hs, ws = b.hr_size
+        assert b.mask[0, :hs, :ws, 0].all()
+        assert b.mask.sum() == hs * ws
+
+
+def test_srdata_end_to_end(image_dataset):
+    dm = SRData(batch_size=2, datasets_dir=image_dataset,
+                eval_datasets=['Tiny'], train_datasets=['Tiny', 'HROnly'],
+                patch_size=16, scale_factor=2)
+    dm.prepare()
+    dm.setup('fit')
+    train = dm.train_loader()
+    assert len(train) == 4  # (6 + 3) // 2
+    b = next(iter(train))
+    assert np.asarray(b.lr).shape == (2, 8, 8, 3)
+    evals = dm.eval_loaders()
+    assert len(evals) == 1 and len(evals[0]) == 6
+
+
+def test_srdata_missing_dataset_raises(image_dataset):
+    dm = SRData(datasets_dir=image_dataset, train_datasets=['Nope'],
+                eval_datasets=[])
+    with pytest.raises(FileNotFoundError, match='Nope'):
+        dm.prepare()
