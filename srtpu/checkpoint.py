@@ -1,0 +1,124 @@
+"""Checkpointing: Orbax-backed top-k retention on a monitored metric + last.
+
+Capability parity with the reference's ModelCheckpoint wiring
+(reference train.py:217-226, configs/all.yml:69-79): monitor a
+``{dataset}/{metric}`` key, mode max (or min for lower-is-better metrics),
+save_top_k=3, save_last=True, cadence tied to the validation interval;
+hyperparameters snapshot saved alongside so checkpoints are self-describing
+(save_hyperparameters + load_from_checkpoint, srmodel.py:102,
+predict.py:80).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_logger = logging.getLogger(__name__)
+
+
+class CheckpointManager:
+    def __init__(self, directory: str | Path, monitor: str = 'PSNR',
+                 mode: str = 'max', save_top_k: int = 3,
+                 save_last: bool = True, hparams: dict[str, Any] | None = None):
+        self._dir = Path(directory).absolute()
+        self._dir.mkdir(parents=True, exist_ok=True)
+        self._monitor = monitor
+        self._mode = mode
+        self._save_last = save_last
+        safe_key = monitor.replace('/', '__')
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=save_top_k if save_top_k > 0 else None,
+            best_fn=(lambda m: m[safe_key]) if save_top_k > 0 else None,
+            best_mode=mode,
+            enable_async_checkpointing=False,
+        )
+        self._safe_key = safe_key
+        self._mngr = ocp.CheckpointManager(self._dir / 'top', options=options)
+        self._last = ocp.PyTreeCheckpointer()
+        if hparams is not None:
+            (self._dir / 'hparams.json').write_text(
+                json.dumps(hparams, indent=2, default=str))
+
+    @property
+    def monitor(self) -> str:
+        return self._monitor
+
+    def save(self, step: int, state, metrics: dict[str, float]) -> None:
+        tree = _state_to_tree(state)
+        if self._monitor in metrics:
+            self._mngr.save(
+                step, args=ocp.args.PyTreeSave(tree),
+                metrics={self._safe_key: float(metrics[self._monitor])})
+            self._mngr.wait_until_finished()
+        if self._save_last:
+            path = self._dir / 'last'
+            if path.exists():
+                import shutil
+                shutil.rmtree(path)
+            self._last.save(path, tree)
+
+    def best_step(self):
+        return self._mngr.best_step()
+
+    def restore(self, state, step: int | None = None):
+        """Restore into an abstract state template ('last' when step None
+        and no best available)."""
+        tree = _state_to_tree(state)
+        if step is None:
+            step = self._mngr.latest_step()
+        if step is not None:
+            restored = self._mngr.restore(
+                step, args=ocp.args.PyTreeRestore(tree))
+        else:
+            restored = self._last.restore(self._dir / 'last', item=tree)
+        return _tree_to_state(state, restored)
+
+    def restore_last(self, state):
+        restored = self._last.restore(self._dir / 'last',
+                                      item=_state_to_tree(state))
+        return _tree_to_state(state, restored)
+
+    def close(self):
+        self._mngr.close()
+
+
+def _state_to_tree(state) -> dict:
+    return {
+        'step': np.asarray(state.step),
+        'params': jax.device_get(state.params),
+        'batch_stats': jax.device_get(state.batch_stats),
+        'loss_params': jax.device_get(state.loss_params),
+        'opt_state': jax.device_get(state.opt_state),
+    }
+
+
+def _tree_to_state(state, tree: dict):
+    import jax.numpy as jnp
+    opt_state = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(state.opt_state),
+        jax.tree_util.tree_leaves(tree['opt_state']))
+    return state.replace(
+        step=jnp.asarray(tree['step']),
+        params=tree['params'],
+        batch_stats=tree['batch_stats'],
+        loss_params=tree['loss_params'],
+        opt_state=opt_state)
+
+
+def load_hparams(directory: str | Path) -> dict[str, Any]:
+    path = Path(directory) / 'hparams.json'
+    if not path.exists():
+        # allow pointing directly at .../checkpoints/top or a step dir
+        for parent in Path(directory).parents:
+            cand = parent / 'hparams.json'
+            if cand.exists():
+                path = cand
+                break
+    return json.loads(path.read_text())

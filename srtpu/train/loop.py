@@ -1,0 +1,326 @@
+"""Trainer: fit / validate / predict orchestration.
+
+Capability parity with the reference training core (models/srmodel.py) plus
+the Lightning Trainer behaviors the reference relies on:
+* epoch loop with validation every N epochs (all.yml:79) and sanity-check
+  val pass before training (num_sanity_val_steps, srmodel.py:187,346);
+* last-batch loss logging every log_loss_every_n_epochs
+  (on_train_epoch_end, srmodel.py:173-212);
+* per-dataset metric aggregation keyed ``{dataset}/{metric}``
+  (srmodel.py:567-593, 345-373) feeding the checkpoint monitor;
+* epoch-gated SR image dumps (all/last/half/quarter x save_results count,
+  srmodel.py:234-331): SR, 96px center crop, edge/sketch variants, one-time
+  HR versions, per-image metric logs;
+* predict loop saving ``{root}/{dataset}/{img}.png`` (+_center)
+  (predict_step, srmodel.py:375-433);
+* progress reporting in items/sec (reference ItemsProgressBar,
+  train.py:17-81).
+
+TPU-native: the train step is one compiled program; eval compiles one
+program per shape bucket; batches stream via the prefetching loader.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srtpu.checkpoint import CheckpointManager
+from srtpu.losses import CompositeLoss, extract_edges, pencil_sketch
+from srtpu.metrics import LOWER_IS_BETTER, build_metrics
+from srtpu.utils.imgops import center_crop
+from srtpu.utils.logging import PRINT, TBLogger, save_image
+from .state import TrainState, create_train_state
+from .steps import make_eval_step, make_predict_step, make_train_step
+
+_logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainerConfig:
+    max_epochs: int = 20
+    check_val_every_n_epoch: int = 1
+    log_loss_every_n_epochs: int = 5
+    log_weights_every_n_epochs: int = 50
+    default_root_dir: str = '.'
+    save_results: int = -1                  # max images saved per dataset
+    save_results_from_epoch: str = 'last'   # all | last | half | quarter
+    metrics: tuple[str, ...] = ('PSNR', 'SSIM')
+    metrics_for_pbar: tuple[str, ...] = ('PSNR', 'SSIM')
+    monitor: str | None = None              # e.g. 'DIV2K/PSNR'
+    save_top_k: int = 3
+    num_sanity_val_steps: int = 2
+    accumulate_grad_batches: int = 1
+    limit_train_batches: int | None = None
+    limit_val_batches: int | None = None
+    fast_dev_run: bool = False
+    seed: int = 42
+    enable_checkpointing: bool = True
+    enable_progress_log: bool = True
+    profiler_dir: str | None = None         # jax.profiler trace directory
+    log_every_n_steps: int = 50
+
+
+class Trainer:
+    def __init__(self, config: TrainerConfig, mesh=None, batch_sharding=None):
+        self.cfg = config
+        self.mesh = mesh
+        self.batch_sharding = batch_sharding
+        self.root = Path(config.default_root_dir)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.tb = TBLogger(self.root / 'tensorboard_logs')
+        self.global_step = 0
+        self.current_epoch = 0
+        self._ckpt: CheckpointManager | None = None
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, model, datamodule, losses: str = 'l1',
+            optimizer_name: str = 'ADAM',
+            optimizer_params: list[str] | None = None,
+            hparams: dict[str, Any] | None = None,
+            state: TrainState | None = None) -> TrainState:
+        from srtpu.losses import parse_losses
+        from srtpu.optim import build_optimizer
+        import optax
+
+        cfg = self.cfg
+        datamodule.prepare()
+        datamodule.setup('fit')
+
+        composite = parse_losses(losses)
+        tx = build_optimizer(optimizer_name, optimizer_params)
+        if cfg.accumulate_grad_batches > 1:
+            tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
+
+        train_loader = datamodule.train_loader(sharding=self.batch_sharding)
+        sample = next(iter(train_loader))
+        sample_lr = jnp.asarray(sample.lr)
+
+        if state is None:
+            rng = jax.random.PRNGKey(cfg.seed)
+            state = create_train_state(model, tx, rng, sample_lr, composite)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+        _logger.log(PRINT, 'model parameters: %s (%.2f MB fp32)',
+                    f'{n_params:,}', n_params * 4 / 2 ** 20)
+
+        train_step = make_train_step(composite)
+        eval_step = make_eval_step(build_metrics(list(cfg.metrics)))
+        self._edge_ops = [s.name for s in composite.sub_losses
+                          if s.name in ('edge_loss', 'pencil_sketch')]
+        self._saved_hr_versions: set[str] = set()
+
+        monitor = cfg.monitor
+        if monitor is None and datamodule.eval_dataset_names and cfg.metrics:
+            monitor = f'{datamodule.eval_dataset_names[0]}/{cfg.metrics[0]}'
+        if cfg.enable_checkpointing:
+            metric_name = monitor.split('/')[-1] if monitor else ''
+            self._ckpt = CheckpointManager(
+                self.root / 'checkpoints', monitor=monitor or '',
+                mode='min' if metric_name in LOWER_IS_BETTER else 'max',
+                save_top_k=cfg.save_top_k, hparams=hparams or {})
+
+        max_epochs = 1 if cfg.fast_dev_run else cfg.max_epochs
+
+        # Lightning-style sanity check: a couple of val steps before training
+        if cfg.num_sanity_val_steps and not cfg.fast_dev_run:
+            self._run_validation(state, eval_step, datamodule,
+                                 limit=cfg.num_sanity_val_steps,
+                                 sanity=True)
+
+        if cfg.profiler_dir:
+            jax.profiler.start_trace(cfg.profiler_dir)
+
+        last_logs = None
+        try:
+            for epoch in range(self.current_epoch, max_epochs):
+                self.current_epoch = epoch
+                t0 = time.time()
+                items = 0
+                train_loader.set_epoch(epoch)
+                for i, batch in enumerate(train_loader):
+                    if cfg.limit_train_batches is not None \
+                            and i >= cfg.limit_train_batches:
+                        break
+                    if cfg.fast_dev_run and i >= 1:
+                        break
+                    state, logs = train_step(state, jnp.asarray(batch.lr),
+                                             jnp.asarray(batch.hr))
+                    last_logs = logs
+                    self.global_step += 1
+                    items += np.asarray(batch.lr).shape[0]
+
+                dt = max(time.time() - t0, 1e-9)
+                if cfg.enable_progress_log:
+                    loss_val = float(last_logs['loss']) if last_logs else 0.0
+                    _logger.log(
+                        PRINT, 'epoch %d/%d  loss %.4f  %.1f items/s',
+                        epoch + 1, max_epochs, loss_val, items / dt)
+
+                # on_train_epoch_end: log last-batch losses (srmodel.py:173)
+                if last_logs is not None and \
+                        (epoch + 1) % cfg.log_loss_every_n_epochs == 0:
+                    scalars = {k: float(v) for k, v in last_logs.items()
+                               if k != 'loss'}
+                    scalars['loss/total'] = float(last_logs['loss'])
+                    self.tb.scalars(scalars, self.global_step)
+
+                if cfg.log_weights_every_n_epochs > 0 and \
+                        (epoch + 1) % cfg.log_weights_every_n_epochs == 0:
+                    self._log_weight_histograms(state)
+
+                if (epoch + 1) % cfg.check_val_every_n_epoch == 0 \
+                        or epoch + 1 == max_epochs:
+                    metrics = self._run_validation(state, eval_step,
+                                                   datamodule)
+                    if self._ckpt is not None:
+                        self._ckpt.save(epoch + 1, state, metrics)
+        finally:
+            if cfg.profiler_dir:
+                jax.profiler.stop_trace()
+            if self._ckpt is not None:
+                self._ckpt.close()
+        return state
+
+    # ----------------------------------------------------------- validation
+
+    def _run_validation(self, state, eval_step, datamodule, limit=None,
+                        sanity=False) -> dict[str, float]:
+        cfg = self.cfg
+        all_metrics: dict[str, float] = {}
+        limit = limit if limit is not None else cfg.limit_val_batches
+        for ds_name, loader in zip(datamodule.eval_dataset_names,
+                                   datamodule.eval_loaders()):
+            per_metric: dict[str, list[float]] = {}
+            for i, batch in enumerate(loader):
+                if limit is not None and i >= limit:
+                    break
+                sr, results = eval_step(state, jnp.asarray(batch.lr),
+                                        jnp.asarray(batch.hr),
+                                        jnp.asarray(batch.mask))
+                results = {k: float(v) for k, v in results.items()}
+                for k, v in results.items():
+                    per_metric.setdefault(k, []).append(v)
+
+                if not sanity and self._should_save_images(i):
+                    self._save_val_images(ds_name, batch, sr, results)
+
+            for k, vals in per_metric.items():
+                all_metrics[f'{ds_name}/{k}'] = float(np.mean(vals))
+
+        if not sanity and all_metrics:
+            self.tb.scalars(all_metrics, self.global_step)
+            pbar = {k: v for k, v in all_metrics.items()
+                    for m in cfg.metrics_for_pbar if m in k}
+            _logger.log(PRINT, 'val @ epoch %d: %s', self.current_epoch + 1,
+                        '  '.join(f'{k}={v:.4f}' for k, v in
+                                  (pbar or all_metrics).items()))
+        return all_metrics
+
+    def _should_save_images(self, batch_idx: int) -> bool:
+        cfg = self.cfg
+        e, last = self.current_epoch + 1, cfg.max_epochs
+        gate = (cfg.save_results_from_epoch == 'all'
+                or (cfg.save_results_from_epoch == 'last' and e == last)
+                or (cfg.save_results_from_epoch == 'half' and e == last // 2)
+                or (cfg.save_results_from_epoch == 'quarter'
+                    and e == last // 4))
+        return gate and (cfg.save_results == -1
+                         or batch_idx < cfg.save_results)
+
+    def _save_val_images(self, ds_name, batch, sr, results):
+        """SR + center crop + edge/sketch variants (srmodel.py:240-331)."""
+        name = batch.names[0]
+        e = self.current_epoch + 1
+        hs, ws = batch.hr_size
+        sr_np = np.asarray(sr)[0, :hs, :ws]
+        hr_np = np.asarray(batch.hr)[0, :hs, :ws]
+
+        imgs = [(sr_np, '')]
+        # skip the 96px center crop for smaller images (the reference
+        # catches the CenterCrop RuntimeError and omits it, srmodel.py:248)
+        sr_crop = None
+        if hs >= 96 and ws >= 96:
+            sr_crop = np.asarray(center_crop(sr_np[None], 96))[0]
+            imgs.append((sr_crop, '_center'))
+
+        for op in self._edge_ops:
+            if op == 'edge_loss':
+                tform = lambda a: np.asarray(extract_edges(
+                    jnp.asarray(a[None])))[0]
+                sfx = 'edges'
+            else:
+                tform = lambda a: np.asarray(pencil_sketch(
+                    jnp.asarray(a[None])))[0]
+                sfx = 'sketch'
+            imgs.append((tform(sr_np), f'_{sfx}'))
+            if sr_crop is not None:
+                imgs.append((tform(sr_crop), f'_center_{sfx}'))
+            if (ds_name, name, op) not in self._saved_hr_versions:
+                imgs.append((tform(hr_np), f'_hr_{sfx}'))
+                if sr_crop is not None:
+                    hr_crop = np.asarray(center_crop(hr_np[None], 96))[0]
+                    imgs.append((tform(hr_crop), f'_hr_center_{sfx}'))
+                self._saved_hr_versions.add((ds_name, name, op))
+
+        out_dir = self.root / ds_name / name
+        for img, suffix in imgs:
+            save_image(img, out_dir / f'epoch_{e:05d}{suffix}.png')
+            self.tb.image(f'{ds_name}/{name}/epoch_{e:05d}{suffix}', img,
+                          self.global_step)
+
+        # per-image metric re-log as {dataset}/{img}/{metric}
+        self.tb.scalars({f'{ds_name}/{name}/{k}': v
+                         for k, v in results.items()}, self.global_step)
+
+    # -------------------------------------------------------------- predict
+
+    def predict(self, state: TrainState, datamodule) -> None:
+        datamodule.setup('predict')
+        predict_step = make_predict_step()
+        for ds_name, loader in zip(datamodule.predict_dataset_names,
+                                   datamodule.predict_loaders()):
+            for batch in loader:
+                sr = predict_step(state, jnp.asarray(batch.lr))
+                hs, ws = batch.hr_size
+                sr_np = np.asarray(sr)[0, :hs, :ws]
+                name = batch.names[0]
+                save_image(sr_np, self.root / ds_name / f'{name}.png')
+                if hs >= 96 and ws >= 96:
+                    crop = np.asarray(center_crop(sr_np[None], 96))[0]
+                    save_image(crop,
+                               self.root / ds_name / f'{name}_center.png')
+                self.tb.image(f'{ds_name}/{name}', sr_np, self.global_step)
+                _logger.info('predicted %s/%s (%dx%d)', ds_name, name,
+                             hs, ws)
+
+    def validate(self, state: TrainState, datamodule,
+                 metrics: tuple[str, ...] | None = None) -> dict[str, float]:
+        datamodule.setup('validate')
+        eval_step = make_eval_step(
+            build_metrics(list(metrics or self.cfg.metrics)))
+        self._edge_ops = []
+        self._saved_hr_versions = set()
+        return self._run_validation(state, eval_step, datamodule)
+
+    def _log_weight_histograms(self, state):
+        """Weight histogram logging (Comet log_histogram_3d equivalent,
+        srmodel.py:203-210) — TB histograms via tensorboardX."""
+        if self.tb._writer is None:
+            return
+        flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+        for path, leaf in flat:
+            name = '/'.join(getattr(p, 'key', str(p)) for p in path)
+            try:
+                self.tb._writer.add_histogram(
+                    f'weights/{name}', np.asarray(leaf),
+                    self.current_epoch + 1)
+            except Exception:  # histogram failures must not kill training
+                pass

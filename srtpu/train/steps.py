@@ -1,0 +1,87 @@
+"""Jitted train/eval/predict steps.
+
+The hot loop (reference training_step srmodel.py:160-171 + Lightning's
+backward/step) becomes ONE compiled XLA program per static shape: forward,
+composite loss, grads, optimizer update, all fused on device. Eval
+(validation_step srmodel.py:214-232) is a second program per shape bucket
+computing SR + masked metrics on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from srtpu.metrics import NO_REFERENCE
+from .state import TrainState
+
+
+def make_train_step(composite_loss, donate: bool = True):
+    """Build train_step(state, lr, hr) -> (state, logs)."""
+
+    def train_step(state: TrainState, lr_img: jax.Array, hr_img: jax.Array):
+        has_bn = bool(state.batch_stats)
+
+        def loss_fn(trainable):
+            variables = {'params': trainable['model']}
+            if has_bn:
+                variables['batch_stats'] = state.batch_stats
+                sr, mutated = state.apply_fn(
+                    variables, lr_img, train=True, mutable=['batch_stats'])
+                new_bs = mutated['batch_stats']
+            else:
+                sr = state.apply_fn(variables, lr_img, train=True)
+                new_bs = None
+            total, parts = composite_loss(sr.astype(jnp.float32),
+                                          hr_img.astype(jnp.float32),
+                                          trainable['loss'])
+            return total, (parts, new_bs)
+
+        grads, (parts, new_bs) = jax.grad(
+            loss_fn, has_aux=True)(state.trainable)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        logs = {'loss': sum(parts.values()) if parts else 0.0}
+        logs.update({f'loss/{k}': v for k, v in parts.items()})
+        return new_state, logs
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(metrics: dict[str, Callable]):
+    """Build eval_step(state, lr, hr, mask) -> (sr, {metric: value}).
+
+    SR and HR are clamped to [0,1] before metrics (srmodel.py:224-225);
+    padded pixels are excluded via the mask (mask-aware metrics) so bucketed
+    shapes score like the originals.
+    """
+
+    def eval_step(state: TrainState, lr_img, hr_img, mask):
+        variables = {'params': state.params}
+        if state.batch_stats:
+            variables['batch_stats'] = state.batch_stats
+        sr = state.apply_fn(variables, lr_img, train=False)
+        sr = jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
+        hr = jnp.clip(hr_img.astype(jnp.float32), 0.0, 1.0)
+        results = {}
+        for name, fn in metrics.items():
+            if name in NO_REFERENCE:
+                results[name] = fn(sr * mask)
+            else:
+                results[name] = fn(sr, hr, mask=mask)
+        return sr, results
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step():
+    def predict_step(state: TrainState, lr_img):
+        variables = {'params': state.params}
+        if state.batch_stats:
+            variables['batch_stats'] = state.batch_stats
+        sr = state.apply_fn(variables, lr_img, train=False)
+        return jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
+
+    return jax.jit(predict_step)

@@ -1,0 +1,176 @@
+"""End-to-end training slice (SURVEY.md §7 build-order step 2):
+SRCNN x2 + L1 + PSNR on a tiny synthetic dataset, single device, with
+checkpointing — the CPU-runnable gate (BASELINE.json config 1)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srtpu.data import SRData
+from srtpu.models import create_model
+from srtpu.optim import build_optimizer, parse_optimizer_params
+from srtpu.train import Trainer, TrainerConfig, create_train_state
+
+
+@pytest.fixture(scope='module')
+def tiny_dataset(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp('datasets')
+    for split, n in (('TinyTrain', 8), ('TinySet5', 3)):
+        hr_dir = root / split / 'HR'
+        hr_dir.mkdir(parents=True)
+        rng = np.random.default_rng(42)
+        for i in range(n):
+            # smooth images so SR training actually reduces loss
+            base = rng.random((12, 12, 3))
+            img = np.kron(base, np.ones((4, 4, 1)))[:44, :46]
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                hr_dir / f'im{i}.png')
+    return root
+
+
+def test_optimizer_params_parsed_and_honored():
+    p = parse_optimizer_params(['lr=0.5', 'betas=0.9,0.99'])
+    assert p == {'lr': 0.5, 'betas': (0.9, 0.99)}
+    tx = build_optimizer('SGD', ['lr=0.5'])
+    params = {'w': jnp.ones(3)}
+    state = tx.init(params)
+    updates, _ = tx.update({'w': jnp.ones(3)}, state, params)
+    np.testing.assert_allclose(np.asarray(updates['w']), -0.5, rtol=1e-6)
+
+
+def test_all_optimizers_step():
+    for name in ('ADAM', 'SGD', 'RMSprop', 'Ranger', 'RangerQH', 'RangerVA'):
+        tx = build_optimizer(name, ['lr=1e-2'])
+        params = {'w': jnp.ones((4, 4))}
+        state = tx.init(params)
+        g = {'w': jnp.full((4, 4), 0.1)}
+        for _ in range(8):
+            updates, state = tx.update(g, state, params)
+            import optax
+            params = optax.apply_updates(params, updates)
+        assert np.all(np.isfinite(np.asarray(params['w'])))
+        assert float(jnp.mean(params['w'])) < 1.0, name
+
+
+def test_unknown_optimizer_raises():
+    with pytest.raises(ValueError, match='not recognized'):
+        build_optimizer('Nope', [])
+
+
+def test_fit_e2e_srcnn(tiny_dataset, tmp_path):
+    dm = SRData(batch_size=4, datasets_dir=tiny_dataset, patch_size=16,
+                scale_factor=2, train_datasets=['TinyTrain'],
+                eval_datasets=['TinySet5'], eval_bucket=16)
+    model = create_model('SRCNN', scale_factor=2)
+    cfg = TrainerConfig(
+        max_epochs=3, check_val_every_n_epoch=3, log_loss_every_n_epochs=1,
+        default_root_dir=str(tmp_path / 'run'),
+        metrics=('PSNR', 'SSIM'), monitor='TinySet5/PSNR',
+        num_sanity_val_steps=1, save_results_from_epoch='last',
+        save_results=1, log_weights_every_n_epochs=0)
+    trainer = Trainer(cfg)
+    state = trainer.fit(model, dm, losses='l1', optimizer_name='ADAM',
+                        optimizer_params=['lr=1e-3'],
+                        hparams={'model': 'SRCNN', 'scale_factor': 2})
+
+    assert int(state.step) == 3 * 2  # 8 imgs / batch 4 = 2 steps/epoch
+
+    # checkpoints written: top-k dir + last + hparams
+    ckpt_dir = tmp_path / 'run' / 'checkpoints'
+    assert (ckpt_dir / 'hparams.json').exists()
+    assert (ckpt_dir / 'last').exists()
+    assert json.loads((ckpt_dir / 'hparams.json').read_text())['model'] == \
+        'SRCNN'
+
+    # validation image dump at last epoch (epoch gate 'last', 1 image)
+    dumped = list((tmp_path / 'run' / 'TinySet5').rglob('*.png'))
+    assert any('epoch_00003' in p.name for p in dumped)
+    # images are <96px, so the 96px center-crop variant is skipped
+    # (reference catches the CenterCrop error and omits it, srmodel.py:248)
+    assert not any('_center' in p.name for p in dumped)
+
+    # restore round-trip
+    from srtpu.checkpoint import CheckpointManager
+    mngr = CheckpointManager(ckpt_dir, monitor='TinySet5/PSNR')
+    restored = mngr.restore_last(state)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+    mngr.close()
+
+
+def test_training_reduces_loss(tiny_dataset):
+    """EDSR-tiny x2: loss after 30 steps < first-step loss."""
+    from srtpu.losses import parse_losses
+    from srtpu.train.steps import make_train_step
+    dm = SRData(batch_size=4, datasets_dir=tiny_dataset, patch_size=16,
+                scale_factor=2, train_datasets=['TinyTrain'],
+                eval_datasets=[])
+    dm.setup('fit')
+    model = create_model('EDSR', scale_factor=2, n_feats=16, n_resblocks=2)
+    composite = parse_losses('l1')
+    tx = build_optimizer('ADAM', ['lr=1e-3'])
+    loader = dm.train_loader()
+    batch = next(iter(loader))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.asarray(batch.lr), composite)
+    step = make_train_step(composite)
+
+    first = None
+    for epoch in range(15):
+        loader.set_epoch(epoch)
+        for b in loader:
+            state, logs = step(state, jnp.asarray(b.lr), jnp.asarray(b.hr))
+            if first is None:
+                first = float(logs['loss'])
+    final = float(logs['loss'])
+    assert final < first * 0.7, (first, final)
+
+
+def test_batchnorm_model_trains(tiny_dataset):
+    """SRResNet carries batch_stats through the train step."""
+    from srtpu.losses import parse_losses
+    from srtpu.train.steps import make_train_step
+    dm = SRData(batch_size=2, datasets_dir=tiny_dataset, patch_size=16,
+                scale_factor=2, train_datasets=['TinyTrain'],
+                eval_datasets=[])
+    dm.setup('fit')
+    model = create_model('SRResNet', scale_factor=2, n_feats=8,
+                         n_resblocks=1)
+    composite = parse_losses('l1')
+    tx = build_optimizer('ADAM', ['lr=1e-3'])
+    batch = next(iter(dm.train_loader()))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.asarray(batch.lr), composite)
+    assert state.batch_stats
+    bs_before = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+    step = make_train_step(composite)
+    state, logs = step(state, jnp.asarray(batch.lr), jnp.asarray(batch.hr))
+    bs_after = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    assert not np.allclose(np.asarray(bs_before), np.asarray(bs_after))
+
+
+def test_trainable_loss_params_update(tiny_dataset):
+    """Adaptive loss latents move with the optimizer (srmodel.py:145-154)."""
+    from srtpu.losses import parse_losses
+    from srtpu.train.steps import make_train_step
+    dm = SRData(batch_size=2, datasets_dir=tiny_dataset, patch_size=16,
+                scale_factor=2, train_datasets=['TinyTrain'],
+                eval_datasets=[])
+    dm.setup('fit')
+    model = create_model('SRCNN', scale_factor=2)
+    composite = parse_losses('0.5 * l1 + 0.5 * adaptive')
+    tx = build_optimizer('ADAM', ['lr=1e-2'])
+    batch = next(iter(dm.train_loader()))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.asarray(batch.lr), composite)
+    before = np.asarray(state.loss_params['1_adaptive']['latent_alpha'])
+    step = make_train_step(composite)
+    state, logs = step(state, jnp.asarray(batch.lr), jnp.asarray(batch.hr))
+    after = np.asarray(state.loss_params['1_adaptive']['latent_alpha'])
+    assert not np.allclose(before, after)
+    assert 'loss/adaptive' in logs
