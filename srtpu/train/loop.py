@@ -111,7 +111,13 @@ class Trainer:
         _logger.log(PRINT, 'model parameters: %s (%.2f MB fp32)',
                     f'{n_params:,}', n_params * 4 / 2 ** 20)
 
-        train_step = make_train_step(composite)
+        if self.mesh is not None:
+            from srtpu.parallel import (make_parallel_train_step,
+                                        replicate_state)
+            state = replicate_state(self.mesh, state)
+            train_step = make_parallel_train_step(composite, self.mesh)
+        else:
+            train_step = make_train_step(composite)
         eval_step = make_eval_step(build_metrics(list(cfg.metrics)))
         self._edge_ops = [s.name for s in composite.sub_losses
                           if s.name in ('edge_loss', 'pencil_sketch')]

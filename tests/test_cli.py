@@ -1,0 +1,186 @@
+"""Config system + CLI tests: interpolation, linking, fit/predict e2e."""
+
+import json
+
+import numpy as np
+import pytest
+
+from srtpu.config import (build_all, link_arguments, load_config,
+                          split_training_args)
+
+
+@pytest.fixture(scope='module')
+def tiny_dataset(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp('datasets')
+    rng = np.random.default_rng(0)
+    for split, n in (('Tr', 6), ('Va', 2)):
+        d = root / split / 'HR'
+        d.mkdir(parents=True)
+        for i in range(n):
+            img = np.kron(rng.random((11, 11, 3)), np.ones((4, 4, 1)))
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                d / f'i{i}.png')
+    demo = root / 'Demo'
+    demo.mkdir()
+    for i in range(2):
+        img = rng.random((20, 22, 3))
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            demo / f'p{i}.png')
+    return root
+
+
+def test_defaults_match_reference():
+    cfg = load_config()
+    assert cfg['data']['batch_size'] == 16
+    assert cfg['data']['patch_size'] == 128
+    assert cfg['trainer']['max_epochs'] == 2000
+    assert cfg['seed'] == 42
+
+
+def test_interpolation():
+    cfg = load_config(overrides=[
+        'trainer.check_val_every_n_epoch=25',
+        'model.init_args.log_weights_every_n_epochs='
+        '${trainer.check_val_every_n_epoch}'])
+    assert cfg['model']['init_args']['log_weights_every_n_epochs'] == 25
+
+
+def test_interpolation_in_string():
+    cfg = load_config(overrides=[
+        'trainer.default_root_dir=exp/${model.class_path}_X'
+        '${data.scale_factor}'])
+    assert cfg['trainer']['default_root_dir'] == 'exp/EDSR_X4'
+
+
+def test_circular_interpolation_raises():
+    with pytest.raises(Exception):
+        load_config(overrides=['data.a=${data.b}', 'data.b=${data.a}'])
+
+
+def test_linked_arguments():
+    cfg = link_arguments(load_config(overrides=['data.scale_factor=2']))
+    assert cfg['model']['init_args']['scale_factor'] == 2
+    assert 'EDSR_X2' in cfg['trainer']['default_root_dir']
+    # val interval capped to max_epochs
+    cfg = link_arguments(load_config(overrides=['trainer.max_epochs=10']))
+    assert cfg['trainer']['check_val_every_n_epoch'] == 10
+
+
+def test_split_training_args():
+    model_kw, train_kw = split_training_args(
+        {'n_feats': 32, 'losses': '0.5*l1+0.5*mse', 'optimizer': 'SGD'})
+    assert model_kw == {'n_feats': 32}
+    assert train_kw['losses'] == '0.5*l1+0.5*mse'
+    assert train_kw['optimizer'] == 'SGD'
+    assert train_kw['metrics'] == ['PSNR', 'SSIM']  # defaults filled
+
+
+def test_build_all_constructs():
+    cfg = load_config(overrides=[
+        'model.class_path=EDSR', 'model.init_args.n_feats=8',
+        'model.init_args.n_resblocks=1', 'data.scale_factor=2',
+        'trainer.max_epochs=1'])
+    model, dm, tcfg, fit_kwargs = build_all(cfg)
+    assert model.n_feats == 8 and model.scale_factor == 2
+    assert tcfg.max_epochs == 1
+    assert fit_kwargs['losses'] == 'l1'
+    assert fit_kwargs['hparams']['model'] == 'EDSR'
+
+
+def test_reference_style_config_file(tmp_path):
+    (tmp_path / 'cfg.yml').write_text('''
+data:
+  batch_size: 4
+  scale_factor: 2
+model:
+  class_path: WDSR
+  init_args:
+    n_feats: 8
+    n_resblocks: 2
+    losses: 0.5 * l1 + 0.5 * mse
+trainer:
+  max_epochs: 3
+  default_root_dir: ${model.class_path}_run
+''')
+    cfg = load_config([tmp_path / 'cfg.yml'])
+    model, dm, tcfg, fit_kwargs = build_all(cfg)
+    assert type(model).__name__ == 'WDSR'
+    assert model.n_feats == 8
+    assert fit_kwargs['losses'] == '0.5 * l1 + 0.5 * mse'
+    assert tcfg.default_root_dir == 'WDSR_run'
+
+
+def test_cli_fit_validate_predict_e2e(tiny_dataset, tmp_path):
+    """Drive the real CLI surface end to end."""
+    from srtpu.cli import cli_main
+
+    root = tmp_path / 'exp'
+    rc = cli_main([
+        'fit',
+        f'data.datasets_dir={tiny_dataset}',
+        'data.train_datasets=[Tr]', 'data.eval_datasets=[Va]',
+        'data.batch_size=2', 'data.patch_size=16', 'data.scale_factor=2',
+        'data.eval_bucket=16',
+        'model.class_path=SRCNN',
+        'model.init_args.losses=l1',
+        'model.init_args.metrics=[PSNR]',
+        'trainer.max_epochs=2', 'trainer.check_val_every_n_epoch=2',
+        'trainer.num_sanity_val_steps=0', 'trainer.precision=32',
+        f'trainer.default_root_dir={root}',
+        'trainer.monitor=Va/PSNR',
+    ])
+    assert rc == 0
+    assert (root / 'checkpoints' / 'hparams.json').exists()
+    hp = json.loads((root / 'checkpoints' / 'hparams.json').read_text())
+    assert hp['model'] == 'SRCNN'
+
+    rc = cli_main([
+        'validate', '--checkpoint', str(root / 'checkpoints'),
+        f'trainer.default_root_dir={tmp_path / "val"}',
+        'model.init_args.metrics=[PSNR]',
+    ])
+    assert rc == 0
+
+    rc = cli_main([
+        'predict', '--checkpoint', str(root / 'checkpoints'),
+        f'data.datasets_dir={tiny_dataset}',
+        'data.predict_datasets=[Demo]',
+        f'trainer.default_root_dir={tmp_path / "pred"}',
+    ])
+    assert rc == 0
+    outs = list((tmp_path / 'pred' / 'Demo').glob('*.png'))
+    assert len(outs) == 2
+
+
+def test_cli_fit_with_mesh(tiny_dataset, tmp_path):
+    """fit with trainer.devices=4 runs the DP-sharded path via the CLI."""
+    from srtpu.cli import cli_main
+
+    root = tmp_path / 'mesh_exp'
+    rc = cli_main([
+        'fit',
+        f'data.datasets_dir={tiny_dataset}',
+        'data.train_datasets=[Tr]', 'data.eval_datasets=[Va]',
+        'data.batch_size=4', 'data.patch_size=16', 'data.scale_factor=2',
+        'data.eval_bucket=16',
+        'model.class_path=SRCNN', 'model.init_args.metrics=[PSNR]',
+        'trainer.max_epochs=1', 'trainer.check_val_every_n_epoch=1',
+        'trainer.num_sanity_val_steps=0', 'trainer.precision=32',
+        'trainer.devices=4', 'trainer.spatial_devices=1',
+        f'trainer.default_root_dir={root}', 'trainer.monitor=Va/PSNR',
+    ])
+    assert rc == 0
+    assert (root / 'checkpoints' / 'last').exists()
+
+
+def test_cli_mesh_batch_divisibility_error(tiny_dataset, tmp_path):
+    from srtpu.cli import cli_main
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match='divisible'):
+        cli_main([
+            'fit', f'data.datasets_dir={tiny_dataset}',
+            'data.train_datasets=[Tr]', 'data.eval_datasets=[]',
+            'data.batch_size=3', 'trainer.devices=4',
+            f'trainer.default_root_dir={tmp_path / "x"}',
+        ])
