@@ -67,6 +67,9 @@ DEFAULTS: dict[str, Any] = {
         'log_every_n_steps': 50,
         'devices': None,            # data-parallel chip count (None = all)
         'spatial_devices': 1,       # spatial-sharding axis size
+        'ckpt_path': None,          # 'last' or a checkpoints dir to resume
+        'detect_anomaly': False,
+        'deterministic': False,
     },
 }
 
@@ -272,7 +275,10 @@ def build_all(cfg: dict):
         seed=cfg.get('seed', 42),
         enable_checkpointing=trainer.get('enable_checkpointing', True),
         profiler_dir=trainer.get('profiler'),
-        log_every_n_steps=trainer.get('log_every_n_steps', 50))
+        log_every_n_steps=trainer.get('log_every_n_steps', 50),
+        ckpt_path=trainer.get('ckpt_path'),
+        detect_anomaly=bool(trainer.get('detect_anomaly', False)),
+        deterministic=bool(trainer.get('deterministic', False)))
 
     fit_kwargs = {
         'losses': train_kw['losses'],

@@ -66,6 +66,9 @@ class TrainerConfig:
     enable_progress_log: bool = True
     profiler_dir: str | None = None         # jax.profiler trace directory
     log_every_n_steps: int = 50
+    ckpt_path: str | None = None            # 'last' or a checkpoints dir
+    detect_anomaly: bool = False            # jax_debug_nans (all.yml:81)
+    deterministic: bool = False             # fixed seeds everywhere
 
 
 class Trainer:
@@ -100,13 +103,34 @@ class Trainer:
         if cfg.accumulate_grad_batches > 1:
             tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
 
+        if cfg.detect_anomaly:
+            # autograd-anomaly analog (reference all.yml:81): crash on the
+            # first op producing a NaN, with its name in the traceback
+            jax.config.update('jax_debug_nans', True)
+
         train_loader = datamodule.train_loader(sharding=self.batch_sharding)
         sample = next(iter(train_loader))
         sample_lr = jnp.asarray(sample.lr)
 
         if state is None:
-            rng = jax.random.PRNGKey(cfg.seed)
+            rng = jax.random.PRNGKey(0 if cfg.deterministic else cfg.seed)
             state = create_train_state(model, tx, rng, sample_lr, composite)
+
+        if cfg.ckpt_path:
+            # resume-from-checkpoint (reference save_last + ckpt_path
+            # plumbing, SURVEY.md §5 checkpoint/resume)
+            ckpt_dir = (self.root / 'checkpoints'
+                        if cfg.ckpt_path == 'last' else Path(cfg.ckpt_path))
+            mngr = CheckpointManager(ckpt_dir, monitor='')
+            try:
+                state = mngr.restore_last(state)
+            finally:
+                mngr.close()
+            steps_per_epoch = max(len(train_loader), 1)
+            self.current_epoch = int(state.step) // steps_per_epoch
+            self.global_step = int(state.step)
+            _logger.log(PRINT, 'resumed from %s at epoch %d (step %d)',
+                        ckpt_dir, self.current_epoch, self.global_step)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
         _logger.log(PRINT, 'model parameters: %s (%.2f MB fp32)',
                     f'{n_params:,}', n_params * 4 / 2 ** 20)

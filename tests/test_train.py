@@ -174,3 +174,24 @@ def test_trainable_loss_params_update(tiny_dataset):
     after = np.asarray(state.loss_params['1_adaptive']['latent_alpha'])
     assert not np.allclose(before, after)
     assert 'loss/adaptive' in logs
+
+
+def test_resume_from_checkpoint(tiny_dataset, tmp_path):
+    """Train 2 epochs, resume, train to 4 — step count continues."""
+    dm = SRData(batch_size=4, datasets_dir=tiny_dataset, patch_size=16,
+                scale_factor=2, train_datasets=['TinyTrain'],
+                eval_datasets=['TinySet5'], eval_bucket=16)
+    model = create_model('SRCNN', scale_factor=2)
+    root = tmp_path / 'resume_run'
+    base = dict(check_val_every_n_epoch=2, log_loss_every_n_epochs=10,
+                default_root_dir=str(root), metrics=('PSNR',),
+                monitor='TinySet5/PSNR', num_sanity_val_steps=0,
+                log_weights_every_n_epochs=0)
+    state1 = Trainer(TrainerConfig(max_epochs=2, **base)).fit(
+        model, dm, losses='l1')
+    assert int(state1.step) == 4  # 2 steps/epoch
+
+    cfg2 = TrainerConfig(max_epochs=4, ckpt_path='last', **base)
+    trainer2 = Trainer(cfg2)
+    state2 = trainer2.fit(model, dm, losses='l1')
+    assert int(state2.step) == 8  # resumed at epoch 2, trained 2 more
