@@ -301,6 +301,36 @@ class ResBlock(nn.Module):
         return res * self.res_scale + x
 
 
+class FusedResBlock(nn.Module):
+    """EDSR-style resblock backed by the fused Pallas kernel
+    (srtpu.ops.resblock): conv3x3 + ReLU + conv3x3 + res_scale + skip in a
+    single VMEM residency. Falls back to the XLA reference for shapes that
+    don't fit VMEM (large eval images). Same math as ResBlock with
+    n_conv_layers=2, norm=None, act=relu.
+    """
+
+    n_feats: int = 64
+    res_scale: float = 1.0
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from srtpu.ops import (resblock_fits, resblock_fused_trainable,
+                               resblock_reference)
+        n = self.n_feats
+        bound = 1.0 / math.sqrt(9 * n)
+        w1 = self.param('kernel1', torch_uniform_init(bound), (3, 3, n, n))
+        b1 = self.param('bias1', torch_uniform_init(bound), (n,))
+        w2 = self.param('kernel2', torch_uniform_init(bound), (3, 3, n, n))
+        b2 = self.param('bias2', torch_uniform_init(bound), (n,))
+        dtype = self.dtype or x.dtype
+        args = (x.astype(dtype), w1.astype(dtype), b1.astype(jnp.float32),
+                w2.astype(dtype), b2.astype(jnp.float32))
+        if resblock_fits(x.shape, dtype):
+            return resblock_fused_trainable(*args, self.res_scale)
+        return resblock_reference(*args, res_scale=self.res_scale)
+
+
 class UpscaleBlock(nn.Module):
     """Sub-pixel upscaling for scale factors {2, 3, 4, 8}.
 

@@ -12,7 +12,8 @@ from typing import Any
 
 from flax import linen as nn
 
-from .common import Conv2d, ResBlock, UpscaleBlock, mean_shift
+from .common import (Conv2d, FusedResBlock, ResBlock, UpscaleBlock,
+                     mean_shift)
 
 
 class EDSR(nn.Module):
@@ -21,6 +22,7 @@ class EDSR(nn.Module):
     n_feats: int = 64
     n_resblocks: int = 16
     res_scale: float = 1.0
+    use_pallas: bool = False   # fused Pallas resblocks (wins for n_feats>=128)
     dtype: Any = None
 
     @nn.compact
@@ -32,8 +34,14 @@ class EDSR(nn.Module):
 
         res = x
         for _ in range(self.n_resblocks):
-            res = ResBlock(n_feats=self.n_feats, kernel_size=3,
-                           res_scale=self.res_scale, dtype=self.dtype)(res)
+            if self.use_pallas:
+                res = FusedResBlock(n_feats=self.n_feats,
+                                    res_scale=self.res_scale,
+                                    dtype=self.dtype)(res)
+            else:
+                res = ResBlock(n_feats=self.n_feats, kernel_size=3,
+                               res_scale=self.res_scale,
+                               dtype=self.dtype)(res)
         res = Conv2d(self.n_feats, 3, dtype=self.dtype)(res)
         x = res + x
 
