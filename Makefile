@@ -1,0 +1,36 @@
+# Ops layer (reference Makefile parity, minus Docker — this framework runs
+# directly on TPU VMs; the reference's CUDA container concerns don't apply).
+
+PY ?= python
+CONFIG ?= configs/train_default_sr.yml
+
+.PHONY: test test-fast train predict bench sweep lint clean
+
+# smoke-test the accelerator (reference `make test` prints GPU properties,
+# Makefile:107-110)
+test-devices:
+	$(PY) -c "import jax; [print(d) for d in jax.devices()]"
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+test-fast:
+	$(PY) -m pytest tests/ -x -q -m "not slow"
+
+train:
+	$(PY) -m srtpu fit --config $(CONFIG) $(ARGS)
+
+predict:
+	$(PY) -m srtpu predict --checkpoint $(CKPT) $(ARGS)
+
+bench:
+	$(PY) bench.py
+
+bench-kernels:
+	$(PY) tools/bench_kernels.py
+
+sweep:
+	$(PY) tools/run_comparisons.py $(ARGS)
+
+clean:
+	rm -rf experiments __pycache__ srtpu/**/__pycache__ .pytest_cache

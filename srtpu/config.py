@@ -70,6 +70,7 @@ DEFAULTS: dict[str, Any] = {
         'ckpt_path': None,          # 'last' or a checkpoints dir to resume
         'detect_anomaly': False,
         'deterministic': False,
+        'remat': False,             # gradient checkpointing (HBM saver)
     },
 }
 
@@ -278,7 +279,8 @@ def build_all(cfg: dict):
         log_every_n_steps=trainer.get('log_every_n_steps', 50),
         ckpt_path=trainer.get('ckpt_path'),
         detect_anomaly=bool(trainer.get('detect_anomaly', False)),
-        deterministic=bool(trainer.get('deterministic', False)))
+        deterministic=bool(trainer.get('deterministic', False)),
+        remat=bool(trainer.get('remat', False)))
 
     fit_kwargs = {
         'losses': train_kw['losses'],

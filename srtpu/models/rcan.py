@@ -22,10 +22,23 @@ from .common import Conv2d, UpscaleBlock, mean_shift
 class CALayer(nn.Module):
     channel: int
     reduction: int = 16
+    use_pallas: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        if self.use_pallas:
+            from srtpu.ops import ca_layer_fits, ca_layer_fused_trainable
+            import math
+            c, r = self.channel, self.reduction
+            w1 = self.param('w1', _ca_init(c), (c, c // r))
+            b1 = self.param('b1', _ca_init(c), (c // r,))
+            w2 = self.param('w2', _ca_init(c // r), (c // r, c))
+            b2 = self.param('b2', _ca_init(c // r), (c,))
+            if ca_layer_fits(x.shape, x.dtype):
+                return ca_layer_fused_trainable(x, w1, b1, w2, b2)
+            from srtpu.ops import ca_layer_reference
+            return ca_layer_reference(x, w1, b1, w2, b2)
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
         y = Conv2d(self.channel // self.reduction, 1, dtype=self.dtype)(y)
         y = nn.relu(y)
@@ -34,11 +47,22 @@ class CALayer(nn.Module):
         return x * y
 
 
+def _ca_init(fan_in):
+    import math
+    import jax
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 class RCAB(nn.Module):
     n_feats: int
     kernel_size: int = 3
     reduction: int = 16
     res_scale: float = 1.0
+    use_pallas: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -46,7 +70,8 @@ class RCAB(nn.Module):
         res = Conv2d(self.n_feats, self.kernel_size, dtype=self.dtype)(x)
         res = nn.relu(res)
         res = Conv2d(self.n_feats, self.kernel_size, dtype=self.dtype)(res)
-        res = CALayer(self.n_feats, self.reduction, dtype=self.dtype)(res)
+        res = CALayer(self.n_feats, self.reduction,
+                      use_pallas=self.use_pallas, dtype=self.dtype)(res)
         return res + x
 
 
@@ -55,6 +80,7 @@ class ResidualGroup(nn.Module):
     kernel_size: int = 3
     reduction: int = 16
     n_resblocks: int = 16
+    use_pallas: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -62,7 +88,7 @@ class ResidualGroup(nn.Module):
         res = x
         for _ in range(self.n_resblocks):
             res = RCAB(self.n_feats, self.kernel_size, self.reduction,
-                       dtype=self.dtype)(res)
+                       use_pallas=self.use_pallas, dtype=self.dtype)(res)
         res = Conv2d(self.n_feats, self.kernel_size, dtype=self.dtype)(res)
         return res + x
 
@@ -75,6 +101,7 @@ class RCAN(nn.Module):
     n_resgroups: int = 10
     reduction: int = 16
     res_scale: float = 1.0
+    use_pallas: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -87,7 +114,9 @@ class RCAN(nn.Module):
         res = x
         for _ in range(self.n_resgroups):
             res = ResidualGroup(self.n_feats, 3, self.reduction,
-                                self.n_resblocks, dtype=self.dtype)(res)
+                                self.n_resblocks,
+                                use_pallas=self.use_pallas,
+                                dtype=self.dtype)(res)
         res = Conv2d(self.n_feats, 3, dtype=self.dtype)(res)
         x = res + x
 

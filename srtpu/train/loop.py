@@ -69,6 +69,7 @@ class TrainerConfig:
     ckpt_path: str | None = None            # 'last' or a checkpoints dir
     detect_anomaly: bool = False            # jax_debug_nans (all.yml:81)
     deterministic: bool = False             # fixed seeds everywhere
+    remat: bool = False                     # jax.checkpoint the forward
 
 
 class Trainer:
@@ -141,7 +142,7 @@ class Trainer:
             state = replicate_state(self.mesh, state)
             train_step = make_parallel_train_step(composite, self.mesh)
         else:
-            train_step = make_train_step(composite)
+            train_step = make_train_step(composite, remat=cfg.remat)
         eval_step = make_eval_step(build_metrics(list(cfg.metrics)))
         self._edge_ops = [s.name for s in composite.sub_losses
                           if s.name in ('edge_loss', 'pencil_sketch')]

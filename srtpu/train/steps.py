@@ -19,8 +19,15 @@ from srtpu.metrics import NO_REFERENCE
 from .state import TrainState
 
 
-def make_train_step(composite_loss, donate: bool = True):
-    """Build train_step(state, lr, hr) -> (state, logs)."""
+def make_train_step(composite_loss, donate: bool = True,
+                    remat: bool = False):
+    """Build train_step(state, lr, hr) -> (state, logs).
+
+    ``remat=True`` wraps the forward in jax.checkpoint, trading FLOPs for
+    HBM (recompute activations in the backward) — the standard TPU move for
+    deep models / large patches. Ignored for batch-norm models (mutable
+    state does not thread through checkpointed functions).
+    """
 
     def train_step(state: TrainState, lr_img: jax.Array, hr_img: jax.Array):
         has_bn = bool(state.batch_stats)
@@ -33,7 +40,11 @@ def make_train_step(composite_loss, donate: bool = True):
                     variables, lr_img, train=True, mutable=['batch_stats'])
                 new_bs = mutated['batch_stats']
             else:
-                sr = state.apply_fn(variables, lr_img, train=True)
+                def fwd(params, x):
+                    return state.apply_fn({'params': params}, x, train=True)
+                if remat:
+                    fwd = jax.checkpoint(fwd)
+                sr = fwd(trainable['model'], lr_img)
                 new_bs = None
             total, parts = composite_loss(sr.astype(jnp.float32),
                                           hr_img.astype(jnp.float32),

@@ -195,3 +195,24 @@ def test_resume_from_checkpoint(tiny_dataset, tmp_path):
     trainer2 = Trainer(cfg2)
     state2 = trainer2.fit(model, dm, losses='l1')
     assert int(state2.step) == 8  # resumed at epoch 2, trained 2 more
+
+
+def test_remat_step_matches_plain(tiny_dataset):
+    """jax.checkpoint'ed step produces identical updates."""
+    from srtpu.losses import parse_losses
+    from srtpu.train.steps import make_train_step
+    model = create_model('EDSR', scale_factor=2, n_feats=8, n_resblocks=1)
+    composite = parse_losses('l1')
+    tx = build_optimizer('SGD', ['lr=1e-2'])
+    rng = jax.random.PRNGKey(0)
+    lr_img = jax.random.uniform(rng, (2, 8, 8, 3))
+    hr_img = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    s0 = create_train_state(model, tx, rng, lr_img, composite)
+    plain = make_train_step(composite, donate=False)(s0, lr_img, hr_img)
+    remat = make_train_step(composite, donate=False, remat=True)(
+        s0, lr_img, hr_img)
+    np.testing.assert_allclose(float(plain[1]['loss']),
+                               float(remat[1]['loss']), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(plain[0].params),
+                    jax.tree_util.tree_leaves(remat[0].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)

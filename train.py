@@ -94,7 +94,10 @@ def main(argv=None) -> int:
     for f in sorted(fields - {'scale_factor', 'channels', 'dtype'}):
         v = getattr(margs, f, None)
         if v is not None:
-            overrides.append(f'model.init_args.{f}={v}')
+            # values pass through yaml parsing in the config layer, so
+            # 'True'/'16'/'0.1' get typed — but normalize booleans here so
+            # '--use_pallas False' doesn't truthy-trap downstream consumers
+            overrides.append(f'model.init_args.{f}={v.strip()}')
 
     ns = argparse.Namespace(config=[], overrides=overrides)
     return cmd_fit(ns)
