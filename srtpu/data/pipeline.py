@@ -100,7 +100,9 @@ class TrainLoader:
     def __init__(self, source: Source, batch_size: int, patch_size: int,
                  scale_factor: int, augment: bool = True, seed: int = 0,
                  sharding=None, prefetch: int = 2,
-                 drop_remainder: bool = True):
+                 drop_remainder: bool = True,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         self._source = source
         self._batch = batch_size
         self._patch = patch_size
@@ -111,9 +113,17 @@ class TrainLoader:
         self._prefetch = prefetch
         self._drop = drop_remainder
         self._epoch = 0
+        # per-host sharding: every process sees the SAME shuffled order
+        # (seeded identically) and takes an interleaved slice — the
+        # TPU-native replacement for Lightning's DistributedSampler
+        # (reference all.yml:127 use_distributed_sampler)
+        self._pidx = process_index if process_index is not None \
+            else jax.process_index()
+        self._pcount = process_count if process_count is not None \
+            else jax.process_count()
 
     def __len__(self):
-        n = len(self._source)
+        n = len(self._source) // self._pcount
         return n // self._batch if self._drop else \
             (n + self._batch - 1) // self._batch
 
@@ -137,6 +147,11 @@ class TrainLoader:
     def __iter__(self):
         rng = np.random.default_rng((self._seed, self._epoch))
         order = rng.permutation(len(self._source))
+        if self._pcount > 1:
+            order = order[self._pidx::self._pcount]
+            # decorrelate augmentation randomness across hosts
+            rng = np.random.default_rng((self._seed, self._epoch,
+                                         self._pidx))
         n_batches = len(self)
         if n_batches == 0:
             return

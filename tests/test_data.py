@@ -195,3 +195,24 @@ def test_srdata_missing_dataset_raises(image_dataset):
                 eval_datasets=[])
     with pytest.raises(FileNotFoundError, match='Nope'):
         dm.prepare()
+
+
+def test_per_host_sharding_partitions_data(image_dataset):
+    """Two simulated hosts see disjoint, covering index sets."""
+    src = ImageFolderSource(hr_dir=image_dataset / 'Tiny' / 'HR',
+                            lr_dir=image_dataset / 'Tiny' / 'LR' / 'X2',
+                            scale_factor=2, mode='train')
+
+    def names_for(pidx):
+        loader = TrainLoader(src, batch_size=1, patch_size=16,
+                             scale_factor=2, seed=0, process_index=pidx,
+                             process_count=2)
+        seen = []
+        for b in loader:
+            seen.extend(b.names)
+        return seen
+
+    a, b = names_for(0), names_for(1)
+    assert len(a) == len(b) == 3  # 6 images / 2 hosts
+    assert set(a).isdisjoint(set(b))
+    assert set(a) | set(b) == {f'img{i:02d}' for i in range(6)}
