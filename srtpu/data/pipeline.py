@@ -131,6 +131,9 @@ class TrainLoader:
         self._epoch = epoch
 
     def _make_batch(self, indices, rng) -> Batch:
+        from . import native
+        if native.available():
+            return self._make_batch_native(indices, rng)
         lrs, hrs, names = [], [], []
         for i in indices:
             lr, hr, name = self._source.get(int(i))
@@ -143,6 +146,37 @@ class TrainLoader:
             hrs.append(np.ascontiguousarray(hr_p))
             names.append(name)
         return Batch(lr=np.stack(lrs), hr=np.stack(hrs), names=tuple(names))
+
+    def _make_batch_native(self, indices, rng) -> Batch:
+        """Native fast path: fused crop+augment+batch placement in C++
+        (native/patchops.cc), drawing the SAME random stream as the numpy
+        path so both are interchangeable."""
+        from . import native
+        n = len(indices)
+        lp = self._patch // self._scale
+        out_lr = np.empty((n, lp, lp, 3), np.float32)
+        out_hr = np.empty((n, self._patch, self._patch, 3), np.float32)
+        names = []
+        for slot, i in enumerate(indices):
+            lr, hr, name = self._source.get(int(i))
+            if hr is None:
+                raise ValueError(f'No HR image for {name}')
+            lh, lw = lr.shape[:2]
+            y = int(rng.integers(0, lh - lp + 1))
+            x = int(rng.integers(0, lw - lp + 1))
+            if self._augment:
+                rot = int(rng.integers(0, 4))
+                hflip = bool(rng.integers(0, 2))
+                vflip = bool(rng.integers(0, 2))
+            else:
+                rot = hflip = vflip = 0
+            native.extract_patch_pair(
+                np.ascontiguousarray(lr, np.float32),
+                np.ascontiguousarray(hr, np.float32),
+                self._patch, self._scale, y, x, rot, hflip, vflip,
+                out_lr[slot], out_hr[slot])
+            names.append(name)
+        return Batch(lr=out_lr, hr=out_hr, names=tuple(names))
 
     def __iter__(self):
         rng = np.random.default_rng((self._seed, self._epoch))
