@@ -68,21 +68,18 @@ class CheckpointManager:
         return self._mngr.best_step()
 
     def restore(self, state, step: int | None = None):
-        """Restore into an abstract state template ('last' when step None
-        and no best available)."""
-        tree = _state_to_tree(state)
+        """Restore into ``state`` (template-free read, lenient adaptation —
+        e.g. GAN checkpoints restored for eval keep a fresh optimizer)."""
         if step is None:
             step = self._mngr.latest_step()
         if step is not None:
-            restored = self._mngr.restore(
-                step, args=ocp.args.PyTreeRestore(tree))
+            restored = self._mngr.restore(step)
         else:
-            restored = self._last.restore(self._dir / 'last', item=tree)
+            restored = self._last.restore(self._dir / 'last')
         return _tree_to_state(state, restored)
 
     def restore_last(self, state):
-        restored = self._last.restore(self._dir / 'last',
-                                      item=_state_to_tree(state))
+        restored = self._last.restore(self._dir / 'last')
         return _tree_to_state(state, restored)
 
     def close(self):
@@ -101,9 +98,17 @@ def _state_to_tree(state) -> dict:
 
 def _tree_to_state(state, tree: dict):
     import jax.numpy as jnp
-    opt_state = jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(state.opt_state),
-        jax.tree_util.tree_leaves(tree['opt_state']))
+    try:
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state.opt_state),
+            jax.tree_util.tree_leaves(tree['opt_state']))
+    except Exception:
+        # optimizer structure changed (e.g. restoring a GAN checkpoint with
+        # two optimizers into a fresh single-optimizer state for eval/
+        # predict): keep the fresh optimizer state — params are what matter
+        _logger.warning('optimizer state structure mismatch on restore; '
+                        'keeping freshly initialized optimizer state')
+        opt_state = state.opt_state
     return state.replace(
         step=jnp.asarray(tree['step']),
         params=tree['params'],

@@ -99,6 +99,14 @@ class Trainer:
         datamodule.prepare()
         datamodule.setup('fit')
 
+        from srtpu.models import SRGAN
+        if isinstance(model, SRGAN):
+            # SRGAN ignores the loss DSL and trains adversarially
+            # (reference srgan.py:136-222 overrides training_step)
+            return self._fit_gan(model, datamodule,
+                                 optimizer_params=optimizer_params,
+                                 hparams=hparams)
+
         composite = parse_losses(losses)
         tx = build_optimizer(optimizer_name, optimizer_params)
         if cfg.accumulate_grad_batches > 1:
@@ -219,6 +227,105 @@ class Trainer:
             if self._ckpt is not None:
                 self._ckpt.close()
         return state
+
+    # ------------------------------------------------------------ GAN fit
+
+    def _gan_eval_view(self, model, gstate) -> TrainState:
+        """Expose GAN state through the standard TrainState shape so the
+        eval step, image dumps, and checkpoint manager work unchanged.
+        SRGAN's __call__ runs the generator (reference srgan.py:133-134),
+        so eval/predict on the combined param tree is the generator path.
+        """
+        return TrainState(
+            step=gstate.step,
+            params={'generator': gstate.g_params,
+                    'discriminator': gstate.d_params},
+            batch_stats={'generator': gstate.g_batch_stats,
+                         'discriminator': gstate.d_batch_stats},
+            loss_params={},
+            opt_state={'g': gstate.g_opt_state, 'd': gstate.d_opt_state},
+            apply_fn=model.apply, tx=None)
+
+    def _fit_gan(self, model, datamodule, optimizer_params=None,
+                 hparams=None):
+        from srtpu.models import SRGANDiscriminator, SRGANGenerator
+        from srtpu.optim import parse_optimizer_params
+        from .gan import create_gan_state, make_gan_train_step, steplr_adam
+
+        cfg = self.cfg
+        opt_kw = parse_optimizer_params(optimizer_params)
+        lr = opt_kw.get('lr', 1e-4)
+
+        generator = SRGANGenerator(model.scale_factor, model.channels,
+                                   model.ngf, model.n_blocks, model.dtype)
+        discriminator = SRGANDiscriminator(model.ndf, model.dtype)
+
+        train_loader = datamodule.train_loader(sharding=self.batch_sharding)
+        sample = next(iter(train_loader))
+        rng = jax.random.PRNGKey(cfg.seed)
+        gstate = create_gan_state(generator, discriminator, rng,
+                                  jnp.asarray(sample.lr),
+                                  g_tx=steplr_adam(lr), d_tx=steplr_adam(lr))
+        gan_step = make_gan_train_step()
+        eval_step = make_eval_step(build_metrics(list(cfg.metrics)))
+        self._edge_ops = []
+        self._saved_hr_versions = set()
+
+        monitor = cfg.monitor
+        if monitor is None and datamodule.eval_dataset_names and cfg.metrics:
+            monitor = f'{datamodule.eval_dataset_names[0]}/{cfg.metrics[0]}'
+        if cfg.enable_checkpointing:
+            metric_name = monitor.split('/')[-1] if monitor else ''
+            self._ckpt = CheckpointManager(
+                self.root / 'checkpoints', monitor=monitor or '',
+                mode='min' if metric_name in LOWER_IS_BETTER else 'max',
+                save_top_k=cfg.save_top_k, hparams=hparams or {})
+
+        max_epochs = 1 if cfg.fast_dev_run else cfg.max_epochs
+        last_logs = None
+        try:
+            for epoch in range(max_epochs):
+                self.current_epoch = epoch
+                t0 = time.time()
+                items = 0
+                train_loader.set_epoch(epoch)
+                for i, batch in enumerate(train_loader):
+                    if cfg.limit_train_batches is not None \
+                            and i >= cfg.limit_train_batches:
+                        break
+                    if cfg.fast_dev_run and i >= 1:
+                        break
+                    gstate, last_logs = gan_step(gstate,
+                                                 jnp.asarray(batch.lr),
+                                                 jnp.asarray(batch.hr))
+                    self.global_step += 1
+                    items += np.asarray(batch.lr).shape[0]
+
+                dt = max(time.time() - t0, 1e-9)
+                if cfg.enable_progress_log and last_logs is not None:
+                    _logger.log(
+                        PRINT,
+                        'epoch %d/%d  g_loss %.4f  d_loss %.4f  %.1f items/s',
+                        epoch + 1, max_epochs, float(last_logs['g_loss']),
+                        float(last_logs['d_loss']), items / dt)
+
+                if last_logs is not None and \
+                        (epoch + 1) % cfg.log_loss_every_n_epochs == 0:
+                    self.tb.scalars({f'loss/{k}': float(v)
+                                     for k, v in last_logs.items()},
+                                    self.global_step)
+
+                if (epoch + 1) % cfg.check_val_every_n_epoch == 0 \
+                        or epoch + 1 == max_epochs:
+                    view = self._gan_eval_view(model, gstate)
+                    metrics = self._run_validation(view, eval_step,
+                                                   datamodule)
+                    if self._ckpt is not None:
+                        self._ckpt.save(epoch + 1, view, metrics)
+        finally:
+            if self._ckpt is not None:
+                self._ckpt.close()
+        return self._gan_eval_view(model, gstate)
 
     # ----------------------------------------------------------- validation
 

@@ -78,3 +78,50 @@ def test_srgan_generator_output_range():
     assert y.shape == (1, 24, 24, 3)
     # tanh -> (x+1)/2 keeps outputs in [0, 1]
     assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+
+def test_trainer_dispatches_srgan(tmp_path):
+    """fit() with an SRGAN model runs the adversarial loop end to end and
+    writes checkpoints restorable by the standard predict path."""
+    from PIL import Image
+    from srtpu.data import SRData
+    from srtpu.models import SRGAN, create_model
+    from srtpu.train import Trainer, TrainerConfig
+
+    root = tmp_path / 'ds' / 'G' / 'HR'
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = np.kron(rng.random((12, 12, 3)), np.ones((4, 4, 1)))
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            root / f'{i}.png')
+
+    dm = SRData(batch_size=2, datasets_dir=tmp_path / 'ds', patch_size=16,
+                scale_factor=2, train_datasets=['G'], eval_datasets=['G'],
+                eval_bucket=16)
+    model = create_model('SRGAN', scale_factor=2, ngf=8, ndf=8, n_blocks=1)
+    cfg = TrainerConfig(max_epochs=2, check_val_every_n_epoch=2,
+                        default_root_dir=str(tmp_path / 'run'),
+                        metrics=('PSNR',), monitor='G/PSNR',
+                        num_sanity_val_steps=0,
+                        log_weights_every_n_epochs=0)
+    state = Trainer(cfg).fit(
+        model, dm, losses='l1',
+        hparams={'model': 'SRGAN',
+                 'init_args': {'ngf': 8, 'ndf': 8, 'n_blocks': 1,
+                               'scale_factor': 2},
+                 'data': {'scale_factor': 2, 'patch_size': 16},
+                 'losses': 'l1', 'optimizer': 'ADAM', 'precision': '32'})
+    assert int(state.step) == 4  # 2 epochs x 2 steps
+    assert 'generator' in state.params and 'discriminator' in state.params
+    assert (tmp_path / 'run' / 'checkpoints' / 'last').exists()
+
+    # standard restore path (predict/validate) works on GAN checkpoints
+    from srtpu.cli import _restore
+    restored, hp, data = _restore(str(tmp_path / 'run' / 'checkpoints'), [])
+    assert 'generator' in restored.params
+    # forward = generator only
+    sr = restored.apply_fn({'params': restored.params,
+                            'batch_stats': restored.batch_stats},
+                           jnp.zeros((1, 8, 8, 3)), train=False)
+    assert sr.shape == (1, 16, 16, 3)
