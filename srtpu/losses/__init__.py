@@ -45,18 +45,8 @@ class SubLoss:
         return None
 
 
-class _PieAPPStub:
-    trainable = False
-
-    def __init__(self):
-        raise NotImplementedError(
-            "pieapp requires converted pretrained weights which are not "
-            "bundled; provide them via SRTPU_WEIGHTS_DIR (see "
-            "tools/convert_torch_weights.py) — architecture port tracked "
-            "for a future release.")
-
-
 def _loss_factories(patch_size: int = 128) -> dict[str, Callable[[], Any]]:
+    from .pieapp import PieAPP
     return {
         'adaptive': lambda: AdaptiveLoss(num_levels=2),
         'dists': DISTS,
@@ -69,7 +59,7 @@ def _loss_factories(patch_size: int = 128) -> dict[str, Callable[[], Any]]:
         'mae': lambda: l1_loss,
         'mse': lambda: l2_loss,
         'pencil_sketch': lambda: pencil_sketch_loss,
-        'pieapp': _PieAPPStub,
+        'pieapp': PieAPP,
     }
 
 

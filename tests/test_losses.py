@@ -185,3 +185,27 @@ def test_lpips_and_dists_identity():
     di = DISTS()
     assert abs(float(di(x, x))) < 1e-3
     assert float(di(x, y)) > float(di(x, x)) - 1e-6
+
+
+def test_pieapp_runs_and_orders():
+    from srtpu.losses.pieapp import PieAPP
+    pa = PieAPP()
+    x, _ = _imgs(shape=(1, 64, 64, 3))
+    # identical inputs -> zero feature difference -> every patch gets the
+    # same constant MLP(0) score; with random weights that constant is not
+    # 0 (pretrained weights calibrate it), but it must be deterministic
+    ident = float(pa(x, x))
+    assert np.isfinite(ident)
+    assert float(pa(x, x)) == ident
+    noisy = jnp.clip(x + 0.3 * jax.random.normal(jax.random.PRNGKey(9),
+                                                 x.shape), 0, 1)
+    diff = float(pa(noisy, x))
+    assert np.isfinite(diff) and diff != ident
+
+
+def test_pieapp_in_dsl():
+    comp = parse_losses('0.5 * l1 + 0.5 * pieapp')
+    assert comp.names == ['l1', 'pieapp']
+    sr, hr = _imgs(shape=(1, 64, 64, 3))
+    total, parts = comp(sr, hr)
+    assert np.isfinite(float(total))
