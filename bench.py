@@ -6,6 +6,12 @@ recipe shapes (batch 16, patch 128 -> LR 32x32, DIV2K-like data). The full
 jitted train step (forward + L1 + backward + ADAM update) is timed on the
 default device, bf16 compute / f32 params.
 
+Measurement notes (important on remote-attached TPUs): ``block_until_ready``
+does not reliably wait for remote execution on tunneled backends, so the
+timing fetches a loss VALUE to force a true sync, and reports the slope
+between a small and a large window — per-step time with the fixed fetch
+latency cancelled out.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is measured against bench_baseline.json (this repo's
 round-1 recorded number) so cross-round perf progress is visible.
@@ -24,8 +30,9 @@ import numpy as np
 BATCH = 16
 PATCH = 128
 SCALE = 4
-WARMUP = 5
-ITERS = 50
+SMALL_WINDOW = 10
+BIG_WINDOW = 60
+REPEATS = 2
 
 
 def build():
@@ -35,8 +42,7 @@ def build():
     from srtpu.train import create_train_state, make_train_step
 
     model = create_model('EDSR', scale_factor=SCALE, n_feats=64,
-                         n_resblocks=16, use_pallas=True,
-                         dtype=jnp.bfloat16)
+                         n_resblocks=16, dtype=jnp.bfloat16)
     composite = parse_losses('l1')
     tx = build_optimizer('ADAM', ['lr=1e-4'])
 
@@ -47,28 +53,30 @@ def build():
 
     state = create_train_state(model, tx, jax.random.PRNGKey(0), lr_img,
                                composite)
-    step = make_train_step(composite, donate=False)
+    step = make_train_step(composite, donate=True)
     return state, step, lr_img, hr_img
 
 
 def main():
     state, step, lr_img, hr_img = build()
 
-    for _ in range(WARMUP):
-        state, logs = step(state, lr_img, hr_img)
-    jax.block_until_ready(logs['loss'])
+    # compile + first sync
+    state, logs = step(state, lr_img, hr_img)
+    float(logs['loss'])
 
-    # best of 3 windows — the timing rides a network tunnel to the chip in
-    # some environments, so a single window can absorb unrelated stalls
-    best_dt = float('inf')
-    for _ in range(3):
+    def window(n):
+        nonlocal state
         t0 = time.perf_counter()
-        for _ in range(ITERS):
+        for _ in range(n):
             state, logs = step(state, lr_img, hr_img)
-        jax.block_until_ready(logs['loss'])
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        float(logs['loss'])  # value fetch = true device sync
+        return time.perf_counter() - t0
 
-    patches_per_sec = BATCH * ITERS / best_dt
+    window(5)  # steady-state warmup
+    t_small = min(window(SMALL_WINDOW) for _ in range(REPEATS))
+    t_big = min(window(BIG_WINDOW) for _ in range(REPEATS))
+    step_time = (t_big - t_small) / (BIG_WINDOW - SMALL_WINDOW)
+    patches_per_sec = BATCH / step_time
 
     baseline_path = Path(__file__).parent / 'bench_baseline.json'
     vs_baseline = 1.0

@@ -22,7 +22,7 @@ class EDSR(nn.Module):
     n_feats: int = 64
     n_resblocks: int = 16
     res_scale: float = 1.0
-    use_pallas: bool = False   # fused Pallas resblocks (wins for n_feats>=128)
+    use_pallas: bool = False   # fused Pallas resblocks (opt-in; see srtpu/ops)
     dtype: Any = None
 
     @nn.compact

@@ -61,6 +61,54 @@ def make_train_step(composite_loss, donate: bool = True,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_train_step(composite_loss, steps_per_execution: int,
+                          donate: bool = True, remat: bool = False):
+    """Scan ``steps_per_execution`` train steps inside ONE jitted call.
+
+    On hosts much slower than the chip (single-core TPU-VM frontends), the
+    per-dispatch pytree flatten/unflatten dominates the step time; scanning
+    k steps on device amortizes it k-fold. Batches arrive stacked as
+    (k, B, ...); returns the last step's logs.
+    """
+
+    def one_step(state: TrainState, batch):
+        lr_img, hr_img = batch
+        has_bn = bool(state.batch_stats)
+
+        def loss_fn(trainable):
+            variables = {'params': trainable['model']}
+            if has_bn:
+                variables['batch_stats'] = state.batch_stats
+                sr, mutated = state.apply_fn(
+                    variables, lr_img, train=True, mutable=['batch_stats'])
+                new_bs = mutated['batch_stats']
+            else:
+                def fwd(params, x):
+                    return state.apply_fn({'params': params}, x, train=True)
+                if remat:
+                    fwd = jax.checkpoint(fwd)
+                sr = fwd(trainable['model'], lr_img)
+                new_bs = None
+            total, parts = composite_loss(sr.astype(jnp.float32),
+                                          hr_img.astype(jnp.float32),
+                                          trainable['loss'])
+            return total, (parts, new_bs)
+
+        grads, (parts, new_bs) = jax.grad(
+            loss_fn, has_aux=True)(state.trainable)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        logs = {'loss': sum(parts.values()) if parts else 0.0}
+        logs.update({f'loss/{k}': v for k, v in parts.items()})
+        return new_state, logs
+
+    def multi_step(state: TrainState, lr_stack: jax.Array,
+                   hr_stack: jax.Array):
+        state, logs = jax.lax.scan(one_step, state, (lr_stack, hr_stack))
+        return state, jax.tree_util.tree_map(lambda x: x[-1], logs)
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(metrics: dict[str, Callable]):
     """Build eval_step(state, lr, hr, mask) -> (sr, {metric: value}).
 

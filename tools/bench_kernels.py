@@ -12,15 +12,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=50, warmup=5):
-    for _ in range(warmup):
+def _sync(out):
+    # On remote-attached TPUs block_until_ready does not wait for
+    # execution; fetching a value does.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
+def timeit(fn, *args, small=10, big=60):
+    out = fn(*args)
+    _sync(out)
+    for _ in range(5):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _sync(out)
+
+    def window(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn(*args)
+        _sync(o)
+        return time.perf_counter() - t0
+
+    t_small = min(window(small) for _ in range(2))
+    t_big = min(window(big) for _ in range(2))
+    return (t_big - t_small) / (big - small)
 
 
 def bench_resblock(b=16, h=32, w=32, c=64, dtype=jnp.bfloat16):
