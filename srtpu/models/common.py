@@ -315,8 +315,8 @@ class FusedResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        from srtpu.ops import (resblock_fits, resblock_fused_trainable,
-                               resblock_reference)
+        from srtpu.ops import resblock_fits, resblock_reference
+        from srtpu.ops.resblock import resblock_fused_v2
         n = self.n_feats
         bound = 1.0 / math.sqrt(9 * n)
         w1 = self.param('kernel1', torch_uniform_init(bound), (3, 3, n, n))
@@ -327,7 +327,8 @@ class FusedResBlock(nn.Module):
         args = (x.astype(dtype), w1.astype(dtype), b1.astype(jnp.float32),
                 w2.astype(dtype), b2.astype(jnp.float32))
         if resblock_fits(x.shape, dtype):
-            return resblock_fused_trainable(*args, self.res_scale)
+            # v2: fused forward + saved-h1 backward (no remat; PERF.md)
+            return resblock_fused_v2(*args, self.res_scale)
         return resblock_reference(*args, res_scale=self.res_scale)
 
 

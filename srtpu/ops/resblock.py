@@ -123,6 +123,97 @@ def _rb_bwd(res_scale, residuals, g):
 resblock_fused_trainable.defvjp(_rb_fwd, _rb_bwd)
 
 
+def _resblock_kernel_h1(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, scale_ref,
+                        out_ref, h1_ref):
+    """Variant that also emits the post-ReLU inter-conv activation, so the
+    backward can reuse it instead of rematerializing the forward."""
+    x = x_ref[0]
+    h, width, c = x.shape
+    xf = x.astype(jnp.float32)
+    res_scale = scale_ref[0, 0]
+    pad = ((1, 1), (1, 1), (0, 0))
+    w1 = w1_ref[...].astype(jnp.float32)
+    w2 = w2_ref[...].astype(jnp.float32)
+    h1 = _conv3x3(jnp.pad(xf, pad), w1, h, width, w1.shape[-1])
+    h1 = jnp.maximum(h1 + b1_ref[...], 0.0)
+    h1_ref[0] = h1.astype(x.dtype)
+    h2 = _conv3x3(jnp.pad(h1, pad), w2, h, width, w2.shape[-1])
+    out_ref[0] = ((h2 + b2_ref[...]) * res_scale + xf).astype(x.dtype)
+
+
+def resblock_fused_h1(x, w1, b1, w2, b2, res_scale=1.0,
+                      interpret: bool | None = None):
+    """Fused forward returning (out, h1)."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, h, w, c = x.shape
+    scale = jnp.asarray([[res_scale]], jnp.float32)
+    blk = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _resblock_kernel_h1,
+        grid=(b,),
+        in_specs=[blk,
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=(blk, blk),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct(x.shape, x.dtype)),
+        interpret=interpret,
+    )(x, w1, b1, w2, b2, scale)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def resblock_fused_v2(x, w1, b1, w2, b2, res_scale=1.0):
+    """Fused forward + recompute-free backward (saved h1).
+
+    vs resblock_fused_trainable: trades one extra HBM write in the forward
+    (h1, needed by the backward anyway) for skipping the full forward
+    recompute in the backward.
+    """
+    out, _ = resblock_fused_h1(x, w1, b1, w2, b2, res_scale)
+    return out
+
+
+def _rb2_fwd(x, w1, b1, w2, b2, res_scale):
+    out, h1 = resblock_fused_h1(x, w1, b1, w2, b2, res_scale)
+    return out, (x, w1, w2, h1)
+
+
+def _rb2_bwd(res_scale, residuals, g):
+    x, w1, w2, h1 = residuals
+    dn = ('NHWC', 'HWIO', 'NHWC')
+    gf = g.astype(jnp.float32) * res_scale
+    h1f = h1.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+
+    def conv(inp, w):
+        return jax.lax.conv_general_dilated(
+            inp, w.astype(jnp.float32), (1, 1), 'SAME',
+            dimension_numbers=dn)
+
+    # conv is linear: its vjp doesn't consume the primal output, so the
+    # unused forward below is DCE'd by XLA — exact gradients, no recompute
+    _, vjp2 = jax.vjp(conv, h1f, w2)
+    dh1, dw2 = vjp2(gf)
+    db2 = jnp.sum(gf, axis=(0, 1, 2))
+
+    dh1_pre = dh1 * (h1f > 0)  # ReLU mask from the SAVED activation
+    _, vjp1 = jax.vjp(conv, xf, w1)
+    dx, dw1 = vjp1(dh1_pre)
+    dx = dx + g.astype(jnp.float32)  # skip-connection branch
+    db1 = jnp.sum(dh1_pre, axis=(0, 1, 2))
+    return (dx.astype(x.dtype), dw1.astype(w1.dtype),
+            db1.astype(jnp.float32), dw2.astype(w2.dtype),
+            db2.astype(jnp.float32))
+
+
+resblock_fused_v2.defvjp(_rb2_fwd, _rb2_bwd)
+
+
 def resblock_fits(x_shape, dtype=jnp.float32) -> bool:
     _, h, w, c = x_shape
     itemsize = jnp.dtype(dtype).itemsize

@@ -125,3 +125,27 @@ def test_edsr_use_pallas_matches_standard_forward_shape():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(np.any(np.asarray(l) != 0) for l in leaves)
+
+
+def test_resblock_v2_forward_and_grads_match_reference():
+    from srtpu.ops.resblock import resblock_fused_v2
+    rng = np.random.default_rng(5)
+    b, h, w, c = 2, 8, 8, 32
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(c) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(c) * 0.05, jnp.float32)
+
+    out = resblock_fused_v2(x, w1, b1, w2, b2, 0.5)
+    ref = resblock_reference(x, w1, b1, w2, b2, res_scale=0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    g_v2 = jax.grad(lambda a: jnp.sum(
+        resblock_fused_v2(*a, 0.5) ** 2))((x, w1, b1, w2, b2))
+    g_ref = jax.grad(lambda a: jnp.sum(
+        resblock_reference(*a, res_scale=0.5) ** 2))((x, w1, b1, w2, b2))
+    for got, want in zip(g_v2, g_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
