@@ -53,7 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _setup(cfg):
+    from srtpu.utils import enable_compilation_cache
     from srtpu.utils.logging import setup_log
+    enable_compilation_cache()
     root_dir = cfg['trainer'].get('default_root_dir') or '.'
     setup_log(cfg.get('log_level', 'warning'),
               cfg.get('file_log_level', 'info'),
