@@ -104,3 +104,39 @@ def test_batch_sharding_layout(mesh8):
     # each device holds batch/4 x H/2
     shard_shape = xs.sharding.shard_shape(x.shape)
     assert shard_shape == (2, 8, 16, 3)
+
+
+def test_spatially_sharded_large_image_predict(mesh8):
+    """Full-resolution predict sharded over 8 'spatial' rows — the
+    context-parallel analog (SURVEY.md §2.2): a 256x256 LR image (1024px
+    SR output at x4) split across the mesh with XLA halo exchanges."""
+    from srtpu.models import create_model
+    from srtpu.parallel import make_mesh, replicate_state, shard_batch
+    from srtpu.train import create_train_state
+    import jax
+
+    mesh = make_mesh(data=1, spatial=8)
+    model = create_model('EDSR', scale_factor=4, n_feats=8, n_resblocks=1)
+    tx = build_optimizer('ADAM', [])
+    rng = jax.random.PRNGKey(0)
+    small = jax.random.uniform(rng, (1, 16, 16, 3))
+    state = create_train_state(model, tx, rng, small)
+    state = replicate_state(mesh, state)
+
+    big = np.random.default_rng(0).random((1, 256, 256, 3)).astype(
+        np.float32)
+    big_sharded = shard_batch(mesh, big)
+
+    from srtpu.parallel.mesh import replicated, batch_sharding
+
+    @jax.jit
+    def predict(s, x):
+        return s.apply_fn({'params': s.params}, x)
+
+    sr = predict(state, big_sharded)
+    assert sr.shape == (1, 1024, 1024, 3)
+    # numerics match unsharded forward
+    sr_ref = predict(jax.device_get(state),
+                     jnp.asarray(big))
+    np.testing.assert_allclose(np.asarray(sr), np.asarray(sr_ref),
+                               atol=1e-5)
