@@ -69,7 +69,15 @@ class CheckpointManager:
 
     def restore(self, state, step: int | None = None):
         """Restore into ``state`` (template-free read, lenient adaptation —
-        e.g. GAN checkpoints restored for eval keep a fresh optimizer)."""
+        e.g. GAN checkpoints restored for eval keep a fresh optimizer).
+        With no explicit step: the best step by the monitored metric when
+        available (load_from_checkpoint semantics), else the latest."""
+        if step is None and self._monitor:
+            try:
+                step = self._mngr.best_step()
+            except KeyError:
+                # saved metrics were keyed by a different monitor
+                step = None
         if step is None:
             step = self._mngr.latest_step()
         if step is not None:

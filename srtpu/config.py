@@ -295,6 +295,7 @@ def build_all(cfg: dict):
             'optimizer_params': train_kw['optimizer_params'],
             'precision': precision,
             'seed': cfg.get('seed', 42),
+            'monitor': monitor,
         },
     }
     return model, dm, tcfg, fit_kwargs

@@ -253,7 +253,6 @@ class EvalLoader:
                 raise ValueError(f'No HR image for {name}')
             if self._patch > 0:
                 # center-crop eval patches (reference srdata.py:97-99)
-                from srtpu.utils.imgops import center_crop  # noqa: F401
                 hh, hw = hr.shape[:2]
                 th = tw = self._patch
                 top, left = (hh - th) // 2, (hw - tw) // 2

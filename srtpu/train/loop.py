@@ -248,6 +248,9 @@ class Trainer:
 
     def _fit_gan(self, model, datamodule, optimizer_params=None,
                  hparams=None):
+        # NB: ckpt_path resume is not yet wired for the GAN loop (the
+        # combined G/D optimizer states round-trip through checkpoints but
+        # the unpack path is future work; standard models resume fully).
         from srtpu.models import SRGANDiscriminator, SRGANGenerator
         from srtpu.optim import parse_optimizer_params
         from .gan import create_gan_state, make_gan_train_step, steplr_adam
