@@ -45,6 +45,7 @@ DEFAULTS: dict[str, Any] = {
         'train_datasets': ['DIV2K'],
         'eval_bucket': 32,
         'prefetch': 2,
+        'cache_train_images': True,
     },
     'model': {
         'class_path': 'EDSR',
@@ -249,7 +250,8 @@ def build_all(cfg: dict):
         train_datasets=data['train_datasets'],
         eval_bucket=data.get('eval_bucket', 32),
         seed=cfg.get('seed', 42),
-        prefetch=data.get('prefetch', 2))
+        prefetch=data.get('prefetch', 2),
+        cache_train_images=data.get('cache_train_images', True))
 
     monitor = trainer.get('monitor')
     if monitor is None and data['eval_datasets']:

@@ -37,7 +37,8 @@ class SRData:
                  train_datasets: list[str] = ('DIV2K',),
                  eval_bucket: int = 32,
                  seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 cache_train_images: bool = True):
         self._augment = augment
         self._batch_size = batch_size
         self._datasets_dir = Path(datasets_dir)
@@ -49,6 +50,12 @@ class SRData:
         self._eval_bucket = eval_bucket
         self._seed = seed
         self._prefetch = prefetch
+        # decoded-image RAM cache for training sources: each image is
+        # re-sampled every epoch, and on TPU-VM hosts with few cores the
+        # PNG decode would otherwise bound the input pipeline (the
+        # reference leans on torch DataLoader worker pools instead,
+        # srdata.py:516)
+        self._cache_train = cache_train_images
         self._train_source = None
         self._eval_sources = None
         self._predict_sources = None
@@ -107,7 +114,7 @@ class SRData:
         _logger.info('Setup %s', stage)
         if stage in (None, 'fit'):
             self._train_source = ConcatSource([
-                self._build_source(n, 'train', cache=False)
+                self._build_source(n, 'train', cache=self._cache_train)
                 for n in self._train_names])
         if stage in (None, 'fit', 'validate'):
             self._eval_sources = [

@@ -221,6 +221,14 @@ class Trainer:
                                                    datamodule)
                     if self._ckpt is not None:
                         self._ckpt.save(epoch + 1, state, metrics)
+        except KeyboardInterrupt:
+            # graceful stop: persist a resumable 'last' checkpoint (the
+            # reference's crash path at least uploads logs, train.py:246;
+            # we can do better and keep the weights)
+            if self._ckpt is not None:
+                _logger.log(PRINT, 'interrupted — saving last checkpoint')
+                self._ckpt.save(self.current_epoch + 1, state, {})
+            raise
         finally:
             if cfg.profiler_dir:
                 jax.profiler.stop_trace()
