@@ -72,6 +72,8 @@ DEFAULTS: dict[str, Any] = {
         'detect_anomaly': False,
         'deterministic': False,
         'remat': False,             # gradient checkpointing (HBM saver)
+        'predict_tile': 0,          # >0: tile huge predict images (LR px)
+        'predict_tile_overlap': 32,
     },
 }
 
@@ -282,7 +284,9 @@ def build_all(cfg: dict):
         ckpt_path=trainer.get('ckpt_path'),
         detect_anomaly=bool(trainer.get('detect_anomaly', False)),
         deterministic=bool(trainer.get('deterministic', False)),
-        remat=bool(trainer.get('remat', False)))
+        remat=bool(trainer.get('remat', False)),
+        predict_tile=int(trainer.get('predict_tile', 0) or 0),
+        predict_tile_overlap=int(trainer.get('predict_tile_overlap', 32)))
 
     fit_kwargs = {
         'losses': train_kw['losses'],

@@ -70,6 +70,8 @@ class TrainerConfig:
     detect_anomaly: bool = False            # jax_debug_nans (all.yml:81)
     deterministic: bool = False             # fixed seeds everywhere
     remat: bool = False                     # jax.checkpoint the forward
+    predict_tile: int = 0                   # >0: tile huge predict images
+    predict_tile_overlap: int = 32          # LR px, >= receptive radius
 
 
 class Trainer:
@@ -434,12 +436,27 @@ class Trainer:
     def predict(self, state: TrainState, datamodule) -> None:
         datamodule.setup('predict')
         predict_step = make_predict_step()
+        tile = self.cfg.predict_tile
+        overlap = self.cfg.predict_tile_overlap
+        scale = datamodule._scale
+
         for ds_name, loader in zip(datamodule.predict_dataset_names,
                                    datamodule.predict_loaders()):
             for batch in loader:
-                sr = predict_step(state, jnp.asarray(batch.lr))
+                lr_np = np.asarray(batch.lr)
                 hs, ws = batch.hr_size
-                sr_np = np.asarray(sr)[0, :hs, :ws]
+                if tile and min(lr_np.shape[1], lr_np.shape[2]) > tile:
+                    # huge image: fixed-shape overlapping tiles (one compile
+                    # per tile shape, bounded memory — srtpu.train.tiled)
+                    from .tiled import tiled_predict
+                    sr_np = tiled_predict(
+                        lambda t: predict_step(state, jnp.asarray(t)),
+                        lr_np[0, :hs // scale, :ws // scale], scale,
+                        tile=tile, overlap=overlap)
+                    sr_np = sr_np[:hs, :ws]
+                else:
+                    sr = predict_step(state, jnp.asarray(batch.lr))
+                    sr_np = np.asarray(sr)[0, :hs, :ws]
                 name = batch.names[0]
                 save_image(sr_np, self.root / ds_name / f'{name}.png')
                 if hs >= 96 and ws >= 96:
