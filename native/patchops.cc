@@ -58,14 +58,17 @@ static inline void copy_patch_augmented(
 
 void extract_patch_pair(
     const float* lr, int lr_h, int lr_w,
-    const float* hr,
+    const float* hr, int hr_h, int hr_w,  // true HR dims (HR images are
+                                          // not always exactly LR*scale,
+                                          // e.g. scale-3 odd-sized HRs)
     int c, int scale, int lr_patch,
     int lr_y, int lr_x,             // crop origin in LR coords
     int rot, int hflip, int vflip,
     float* out_lr, float* out_hr) {
+  (void)lr_h; (void)hr_h;
   copy_patch_augmented(lr, lr_w, c, lr_y, lr_x, lr_patch,
                        rot, hflip, vflip, out_lr);
-  copy_patch_augmented(hr, lr_w * scale, c, lr_y * scale, lr_x * scale,
+  copy_patch_augmented(hr, hr_w, c, lr_y * scale, lr_x * scale,
                        lr_patch * scale, rot, hflip, vflip, out_hr);
 }
 

@@ -29,7 +29,8 @@ class CheckpointManager:
                  save_last: bool = True, hparams: dict[str, Any] | None = None):
         self._dir = Path(directory).absolute()
         self._dir.mkdir(parents=True, exist_ok=True)
-        self._monitor = monitor
+        self._monitor = monitor or ''
+        monitor = self._monitor
         self._mode = mode
         self._save_last = save_last
         safe_key = monitor.replace('/', '__')

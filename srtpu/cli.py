@@ -142,7 +142,7 @@ def _restore(checkpoint_dir: str, cfg_overrides):
     state = create_train_state(model, tx, jax.random.PRNGKey(0), sample,
                                composite)
     mngr = CheckpointManager(checkpoint_dir,
-                             monitor=hp.get('monitor', ''))
+                             monitor=hp.get('monitor') or '')
     try:
         state = mngr.restore(state)
     finally:

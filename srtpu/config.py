@@ -237,7 +237,10 @@ def build_all(cfg: dict):
     data, model_cfg, trainer = cfg['data'], cfg['model'], cfg['trainer']
     model_kw, train_kw = split_training_args(model_cfg.get('init_args', {}))
 
-    precision = str(trainer.get('precision', 'bf16'))
+    # model.init_args.precision (reference srmodel.py:92 owns this knob)
+    # takes precedence over trainer.precision
+    precision = str(train_kw.get('precision',
+                                 trainer.get('precision', 'bf16')))
     dtype = jnp.bfloat16 if precision in ('bf16', 'bfloat16', '16') \
         else None
     model = create_model(model_cfg['class_path'], dtype=dtype, **model_kw)

@@ -72,13 +72,13 @@ class SRData:
 
     def prepare(self) -> None:
         """Download-once step (reference prepare_data, srdata.py:387-422)."""
-        for name in self._train_names + self._eval_names:
+        roles = ([(n, 'train') for n in self._train_names]
+                 + [(n, 'validation') for n in self._eval_names])
+        for name, split in roles:
             if self._is_hub_name(name):
                 hub = HF_DATASET_NAMES.get(name, name)
                 try:
                     from datasets import load_dataset
-                    split = 'train' if name in self._train_names \
-                        else 'validation'
                     load_dataset(hub, f'bicubic_x{self._scale}', split=split)
                 except Exception as e:
                     raise FileNotFoundError(

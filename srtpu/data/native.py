@@ -52,7 +52,7 @@ def get_lib():
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i = ctypes.c_int
         lib.extract_patch_pair.argtypes = [
-            f32p, i, i, f32p, i, i, i, i, i, i, i, i, f32p, f32p]
+            f32p, i, i, f32p, i, i, i, i, i, i, i, i, i, i, f32p, f32p]
         lib.bicubic_downscale_u8.argtypes = [u8p, i, i, i, i, i, u8p]
         lib.bicubic_downscale_f32.argtypes = [f32p, i, i, i, i, i, f32p]
         _lib = lib
@@ -80,7 +80,8 @@ def extract_patch_pair(lr: np.ndarray, hr: np.ndarray, patch_size: int,
     assert hr.dtype == np.float32 and hr.flags.c_contiguous
     lp = patch_size // scale
     lib.extract_patch_pair(
-        _fp(lr), lr.shape[0], lr.shape[1], _fp(hr),
+        _fp(lr), lr.shape[0], lr.shape[1],
+        _fp(hr), hr.shape[0], hr.shape[1],
         lr.shape[2], scale, lp, int(lr_y), int(lr_x),
         int(rot), int(hflip), int(vflip), _fp(out_lr), _fp(out_hr))
 

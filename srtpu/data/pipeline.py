@@ -130,6 +130,15 @@ class TrainLoader:
     def set_epoch(self, epoch: int):
         self._epoch = epoch
 
+    def peek(self) -> Batch:
+        """One host-side batch for shape/dtype inspection — no prefetch
+        thread, no device transfer (iterating instead would leak a producer
+        thread holding prefetched, possibly device-resident batches)."""
+        rng = np.random.default_rng((self._seed, 2 ** 31))
+        n = len(self._source)
+        idx = np.resize(np.arange(min(self._batch, n)), self._batch)
+        return self._make_batch(idx, rng)
+
     def _make_batch(self, indices, rng) -> Batch:
         from . import native
         if native.available():

@@ -131,10 +131,17 @@ class ImageFolderSource(_CachedSource):
         return lr, hr, path.stem
 
 
+def _load_npy(path) -> np.ndarray:
+    arr = np.load(path)
+    if not isinstance(arr, np.ndarray):  # .npz archive: first array
+        arr = arr[list(arr.files)[0]]
+    return _to_float(arr)
+
+
 class NpySource(_CachedSource):
     def __init__(self, hr_dir=None, lr_dir=None, scale_factor: int = 4,
                  mode: str = 'train', cache: bool = False,
-                 extensions={'.npy'}):
+                 extensions={'.npy', '.npz'}):
         super().__init__(cache)
         assert hr_dir is not None or mode == 'predict'
         self._scale = scale_factor
@@ -159,11 +166,11 @@ class NpySource(_CachedSource):
     def _load(self, index):
         if self._mode == 'predict':
             path = self._lr_files[index]
-            return _to_float(np.load(path)), None, path.stem
+            return _load_npy(path), None, path.stem
         path = self._hr_files[index]
-        hr = _to_float(np.load(path))
+        hr = _load_npy(path)
         if self._lr_files is not None:
-            lr = _to_float(np.load(self._lr_files[index]))
+            lr = _load_npy(self._lr_files[index])
         else:
             lr = bicubic_downscale(hr, self._scale)
         return lr, hr, path.stem

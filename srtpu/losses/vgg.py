@@ -275,12 +275,12 @@ class DISTS:
         sr32 = _normalize_imagenet(sr.astype(jnp.float32))
         hr32 = _normalize_imagenet(hr.astype(jnp.float32))
         frozen = jax.tree_util.tree_map(jax.lax.stop_gradient, self.params)
-        feats_sr = [sr.astype(jnp.float32)] + [
-            vgg_features(frozen, self.plan, sr32, _DISTS_TAPS)[t]
-            for t in _DISTS_TAPS]
-        feats_hr = [hr.astype(jnp.float32)] + [
-            vgg_features(frozen, self.plan, hr32, _DISTS_TAPS)[t]
-            for t in _DISTS_TAPS]
+        sr_taps = vgg_features(frozen, self.plan, sr32, _DISTS_TAPS)
+        hr_taps = vgg_features(frozen, self.plan, hr32, _DISTS_TAPS)
+        feats_sr = [sr.astype(jnp.float32)] + [sr_taps[t]
+                                               for t in _DISTS_TAPS]
+        feats_hr = [hr.astype(jnp.float32)] + [hr_taps[t]
+                                               for t in _DISTS_TAPS]
 
         score = 0.0
         for fx, fy, a, b in zip(feats_sr, feats_hr, self.alpha, self.beta):

@@ -141,7 +141,7 @@ def make_parallel_eval_step(metrics, mesh: Mesh):
         results = {}
         for name, fn in metrics.items():
             if name in NO_REFERENCE:
-                results[name] = fn(sr * mask)
+                results[name] = fn(sr)  # see make_eval_step note
             else:
                 results[name] = fn(sr, hr, mask=mask)
         return sr, results

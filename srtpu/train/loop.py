@@ -120,8 +120,7 @@ class Trainer:
             jax.config.update('jax_debug_nans', True)
 
         train_loader = datamodule.train_loader(sharding=self.batch_sharding)
-        sample = next(iter(train_loader))
-        sample_lr = jnp.asarray(sample.lr)
+        sample_lr = jnp.asarray(train_loader.peek().lr)
 
         if state is None:
             rng = jax.random.PRNGKey(0 if cfg.deterministic else cfg.seed)
@@ -137,7 +136,11 @@ class Trainer:
                 state = mngr.restore_last(state)
             finally:
                 mngr.close()
-            steps_per_epoch = max(len(train_loader), 1)
+            steps_per_epoch = len(train_loader)
+            if cfg.limit_train_batches is not None:
+                steps_per_epoch = min(steps_per_epoch,
+                                      cfg.limit_train_batches)
+            steps_per_epoch = max(steps_per_epoch, 1)
             self.current_epoch = int(state.step) // steps_per_epoch
             self.global_step = int(state.step)
             _logger.log(PRINT, 'resumed from %s at epoch %d (step %d)',
@@ -274,10 +277,9 @@ class Trainer:
         discriminator = SRGANDiscriminator(model.ndf, model.dtype)
 
         train_loader = datamodule.train_loader(sharding=self.batch_sharding)
-        sample = next(iter(train_loader))
         rng = jax.random.PRNGKey(cfg.seed)
         gstate = create_gan_state(generator, discriminator, rng,
-                                  jnp.asarray(sample.lr),
+                                  jnp.asarray(train_loader.peek().lr),
                                   g_tx=steplr_adam(lr), d_tx=steplr_adam(lr))
         gan_step = make_gan_train_step()
         eval_step = make_eval_step(build_metrics(list(cfg.metrics)))
@@ -335,6 +337,12 @@ class Trainer:
                                                    datamodule)
                     if self._ckpt is not None:
                         self._ckpt.save(epoch + 1, view, metrics)
+        except KeyboardInterrupt:
+            if self._ckpt is not None:
+                _logger.log(PRINT, 'interrupted — saving last checkpoint')
+                self._ckpt.save(self.current_epoch + 1,
+                                self._gan_eval_view(model, gstate), {})
+            raise
         finally:
             if self._ckpt is not None:
                 self._ckpt.close()

@@ -127,7 +127,11 @@ def make_eval_step(metrics: dict[str, Callable]):
         results = {}
         for name, fn in metrics.items():
             if name in NO_REFERENCE:
-                results[name] = fn(sr * mask)
+                # no-reference metrics see the edge-padded SR as-is:
+                # zeroing the padding would inject a black border into the
+                # global natural-scene statistics; edge padding is the
+                # closer approximation (exactness requires unpadded shapes)
+                results[name] = fn(sr)
             else:
                 results[name] = fn(sr, hr, mask=mask)
         return sr, results

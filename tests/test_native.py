@@ -103,3 +103,23 @@ def test_native_bicubic_matches_pil():
     # within one uint8 step everywhere
     diff = np.abs(ours.astype(int) - pil.astype(int))
     assert diff.max() <= 1
+
+
+def test_native_patch_with_non_multiple_hr_dims():
+    """Regression: HR images whose dims are not exact multiples of scale
+    (e.g. odd-sized HR at scale 3) must use the TRUE HR row stride."""
+    rng = np.random.default_rng(5)
+    scale, patch = 3, 9
+    lp = patch // scale
+    lr = rng.random((10, 12, 3)).astype(np.float32)
+    hr = rng.random((10 * scale + 2, 12 * scale + 1, 3)).astype(np.float32)
+
+    y, x = 2, 4
+    out_lr = np.empty((lp, lp, 3), np.float32)
+    out_hr = np.empty((patch, patch, 3), np.float32)
+    native.extract_patch_pair(lr, hr, patch, scale, y, x, 0, False, False,
+                              out_lr, out_hr)
+    np.testing.assert_allclose(out_lr, lr[y:y + lp, x:x + lp], rtol=1e-6)
+    np.testing.assert_allclose(
+        out_hr, hr[scale * y:scale * y + patch, scale * x:scale * x + patch],
+        rtol=1e-6)
