@@ -170,3 +170,71 @@ def test_srgan_discriminator_output():
     y, _ = d.apply(variables, x, train=True, mutable=['batch_stats'])
     assert y.shape == (2, 1, 1, 1)
     assert jnp.all((y >= 0) & (y <= 1))
+
+
+def test_wdsr_b_param_count_formula():
+    # Hand-derived from reference wdsr.py (weight-norm adds one g scalar
+    # per output channel): n_feats=8, n_resblocks=2, scale 2, 3ch.
+    n, blocks, scale = 8, 2, 2
+    out_feats = scale * scale * 3
+    def wn_conv(cin, cout, k):
+        return k * k * cin * cout + cout + cout  # kernel + g + bias
+    head = wn_conv(3, n, 3)
+    block_b = (wn_conv(n, 6 * n, 1) + wn_conv(6 * n, int(0.8 * n), 1)
+               + wn_conv(int(0.8 * n), n, 3))
+    tail = wn_conv(n, out_feats, 3)
+    skip = wn_conv(3, out_feats, 5)
+    expected = head + blocks * block_b + tail + skip
+
+    model = create_model('WDSR', scale_factor=scale, n_feats=n,
+                         n_resblocks=blocks, block_type='B')
+    variables, _ = _init_and_apply(model, (1, 8, 8, 3))
+    assert param_count(variables['params']) == expected
+
+
+def test_rdn_param_count_formula():
+    # reference rdn.py config A=(20,6,32) with G0, kernel 3, scale 2 —
+    # computed from an independent layer-by-layer ledger.
+    D, C, G = 20, 6, 32
+    G0, k, scale, ch = 16, 3, 2, 3
+    def conv(cin, cout, kk=k):
+        return kk * kk * cin * cout + cout
+    total = conv(ch, G0) + conv(G0, G0)           # SFENet1/2
+    for _ in range(D):                             # RDBs
+        cin = G0
+        for _ in range(C):
+            total += conv(cin, G)
+            cin += G
+        total += conv(cin, G0, 1)                  # local fusion 1x1
+    total += conv(D * G0, G0, 1) + conv(G0, G0)    # global fusion
+    total += conv(G0, G * scale * scale) + conv(G, ch)  # UPNet x2
+    model = create_model('RDN', scale_factor=scale, rdn_config='A',
+                         growth0=G0)
+    variables, _ = _init_and_apply(model, (1, 8, 8, 3))
+    assert param_count(variables['params']) == total
+
+
+@pytest.mark.parametrize('name', ['WDSR', 'RCAN', 'RDN', 'DDBPN',
+                                  'SRResNet'])
+def test_gradients_flow_all_models(name):
+    model = create_model(name, scale_factor=2, channels=3,
+                         **SMALL.get(name, {}))
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, 8, 8, 3))
+    hr = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    variables = model.init(rng, x, train=True)
+
+    def loss_fn(params):
+        v = {'params': params}
+        if 'batch_stats' in variables:
+            v['batch_stats'] = variables['batch_stats']
+            sr, _ = model.apply(v, x, train=True, mutable=['batch_stats'])
+        else:
+            sr = model.apply(v, x, train=True)
+        return jnp.mean(jnp.abs(sr - hr))
+
+    grads = jax.grad(loss_fn)(variables['params'])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves), name
+    nonzero = sum(bool(np.any(np.asarray(g) != 0)) for g in leaves)
+    assert nonzero > len(leaves) * 0.5, f'{name}: too many dead grads'
