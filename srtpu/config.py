@@ -74,6 +74,7 @@ DEFAULTS: dict[str, Any] = {
         'remat': False,             # gradient checkpointing (HBM saver)
         'predict_tile': 0,          # >0: tile huge predict images (LR px)
         'predict_tile_overlap': 32,
+        'steps_per_execution': 1,   # scan k train steps per host dispatch
     },
 }
 
@@ -289,7 +290,8 @@ def build_all(cfg: dict):
         deterministic=bool(trainer.get('deterministic', False)),
         remat=bool(trainer.get('remat', False)),
         predict_tile=int(trainer.get('predict_tile', 0) or 0),
-        predict_tile_overlap=int(trainer.get('predict_tile_overlap', 32)))
+        predict_tile_overlap=int(trainer.get('predict_tile_overlap', 32)),
+        steps_per_execution=int(trainer.get('steps_per_execution', 1)))
 
     fit_kwargs = {
         'losses': train_kw['losses'],

@@ -72,6 +72,7 @@ class TrainerConfig:
     remat: bool = False                     # jax.checkpoint the forward
     predict_tile: int = 0                   # >0: tile huge predict images
     predict_tile_overlap: int = 32          # LR px, >= receptive radius
+    steps_per_execution: int = 1            # scan k steps per dispatch
 
 
 class Trainer:
@@ -149,13 +150,23 @@ class Trainer:
         _logger.log(PRINT, 'model parameters: %s (%.2f MB fp32)',
                     f'{n_params:,}', n_params * 4 / 2 ** 20)
 
+        spe = max(int(cfg.steps_per_execution), 1)
+        multi_step = None
         if self.mesh is not None:
             from srtpu.parallel import (make_parallel_train_step,
                                         replicate_state)
             state = replicate_state(self.mesh, state)
             train_step = make_parallel_train_step(composite, self.mesh)
+            if spe > 1:
+                _logger.warning('steps_per_execution>1 is single-device '
+                                'only; ignoring under a mesh')
+                spe = 1
         else:
             train_step = make_train_step(composite, remat=cfg.remat)
+            if spe > 1:
+                from .steps import make_multi_train_step
+                multi_step = make_multi_train_step(composite, spe,
+                                                   remat=cfg.remat)
         eval_step = make_eval_step(build_metrics(list(cfg.metrics)))
         self._edge_ops = [s.name for s in composite.sub_losses
                           if s.name in ('edge_loss', 'pencil_sketch')]
@@ -189,17 +200,42 @@ class Trainer:
                 t0 = time.time()
                 items = 0
                 train_loader.set_epoch(epoch)
-                for i, batch in enumerate(train_loader):
-                    if cfg.limit_train_batches is not None \
-                            and i >= cfg.limit_train_batches:
-                        break
-                    if cfg.fast_dev_run and i >= 1:
-                        break
-                    state, logs = train_step(state, jnp.asarray(batch.lr),
-                                             jnp.asarray(batch.hr))
-                    last_logs = logs
-                    self.global_step += 1
-                    items += np.asarray(batch.lr).shape[0]
+                if spe > 1:
+                    # steps_per_execution: stack k batches, scan on device
+                    pend_lr, pend_hr = [], []
+                    for i, batch in enumerate(train_loader):
+                        if cfg.limit_train_batches is not None \
+                                and i >= cfg.limit_train_batches:
+                            break
+                        pend_lr.append(np.asarray(batch.lr))
+                        pend_hr.append(np.asarray(batch.hr))
+                        if len(pend_lr) == spe:
+                            state, logs = multi_step(
+                                state, jnp.asarray(np.stack(pend_lr)),
+                                jnp.asarray(np.stack(pend_hr)))
+                            last_logs = logs
+                            self.global_step += spe
+                            items += sum(a.shape[0] for a in pend_lr)
+                            pend_lr, pend_hr = [], []
+                    # remainder batches run through the single step
+                    for a, b in zip(pend_lr, pend_hr):
+                        state, last_logs = train_step(state, jnp.asarray(a),
+                                                      jnp.asarray(b))
+                        self.global_step += 1
+                        items += a.shape[0]
+                else:
+                    for i, batch in enumerate(train_loader):
+                        if cfg.limit_train_batches is not None \
+                                and i >= cfg.limit_train_batches:
+                            break
+                        if cfg.fast_dev_run and i >= 1:
+                            break
+                        state, logs = train_step(state,
+                                                 jnp.asarray(batch.lr),
+                                                 jnp.asarray(batch.hr))
+                        last_logs = logs
+                        self.global_step += 1
+                        items += np.asarray(batch.lr).shape[0]
 
                 dt = max(time.time() - t0, 1e-9)
                 if cfg.enable_progress_log:

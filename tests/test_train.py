@@ -216,3 +216,28 @@ def test_remat_step_matches_plain(tiny_dataset):
     for a, b in zip(jax.tree_util.tree_leaves(plain[0].params),
                     jax.tree_util.tree_leaves(remat[0].params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_steps_per_execution_matches_single(tiny_dataset, tmp_path):
+    """steps_per_execution=2 produces the same final params as 1 (same
+    batches, same order) and the same step count."""
+    def fit(spe, root):
+        dm = SRData(batch_size=2, datasets_dir=tiny_dataset, patch_size=16,
+                    scale_factor=2, train_datasets=['TinyTrain'],
+                    eval_datasets=[])
+        model = create_model('SRCNN', scale_factor=2)
+        cfg = TrainerConfig(max_epochs=2, check_val_every_n_epoch=5,
+                            default_root_dir=str(tmp_path / root),
+                            num_sanity_val_steps=0, enable_checkpointing=False,
+                            log_weights_every_n_epochs=0,
+                            steps_per_execution=spe)
+        return Trainer(cfg).fit(model, dm, losses='l1',
+                                optimizer_params=['lr=1e-3'])
+
+    s1 = fit(1, 'a')
+    s2 = fit(2, 'b')
+    assert int(s1.step) == int(s2.step) == 8  # 4 steps/epoch x 2
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
