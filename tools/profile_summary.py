@@ -7,7 +7,7 @@ Usage:
 <trace_dir> is the directory passed to trainer.profiler /
 jax.profiler.start_trace; [steps] divides totals into per-step numbers.
 Requires PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python when the installed
-tensorflow/protobuf pair mismatches (the tool sets itautomatically before
+tensorflow/protobuf pair mismatches (the tool sets it automatically before
 importing).
 """
 
