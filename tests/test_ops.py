@@ -149,3 +149,31 @@ def test_resblock_v2_forward_and_grads_match_reference():
     for got, want in zip(g_v2, g_ref):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_resblock_v3_fully_fused_grads_match_reference():
+    from srtpu.ops.resblock import resblock_fused_v3
+    rng = np.random.default_rng(6)
+    b, h, w, c = 3, 8, 8, 32
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(c) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(c) * 0.05, jnp.float32)
+
+    out = resblock_fused_v3(x, w1, b1, w2, b2, 0.5)
+    ref = resblock_reference(x, w1, b1, w2, b2, res_scale=0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    g_v3 = jax.grad(lambda a: jnp.sum(
+        resblock_fused_v3(*a, 0.5) * jnp.cos(
+            jnp.arange(out.size).reshape(out.shape) / 7.0)))(
+                (x, w1, b1, w2, b2))
+    g_ref = jax.grad(lambda a: jnp.sum(
+        resblock_reference(*a, res_scale=0.5) * jnp.cos(
+            jnp.arange(out.size).reshape(out.shape) / 7.0)))(
+                (x, w1, b1, w2, b2))
+    for got, want in zip(g_v3, g_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=1e-4)
