@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -33,16 +34,55 @@ class _BlockA(nn.Module):
 class _BlockB(nn.Module):
     n_feats: int
     res_scale: float = 1.0
+    use_pallas: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         expand, linear = 6, 0.8
+        if self.use_pallas:
+            return self._fused(x, expand, linear)
         res = WNConv2d(self.n_feats * expand, 1, dtype=self.dtype)(x)
         res = nn.relu(res)
         res = WNConv2d(int(self.n_feats * linear), 1, dtype=self.dtype)(res)
         res = WNConv2d(self.n_feats, 3, dtype=self.dtype)(res)
         return res * self.res_scale + x
+
+    def _fused(self, x, expand, linear):
+        """Fused Pallas path (srtpu.ops.wdsr_block): the 6x-expanded
+        activation never leaves VMEM. Weight-norm kernels are materialized
+        here (w = g * v/||v||) so the kernel sees plain weights."""
+        import math
+        from srtpu.ops.wdsr_block import (wdsr_block_fits,
+                                          wdsr_block_fused,
+                                          wdsr_block_reference)
+        from .common import torch_uniform_init
+        n, e, L = self.n_feats, self.n_feats * expand, \
+            int(self.n_feats * linear)
+
+        def wn_params(name, k, cin, cout):
+            bound = 1.0 / math.sqrt(k * k * cin)
+            v = self.param(f'{name}_v', torch_uniform_init(bound),
+                           (k, k, cin, cout))
+            g = self.param(
+                f'{name}_g', lambda key, shape: jnp.linalg.norm(
+                    jax.lax.stop_gradient(v).reshape(-1, cout), axis=0),
+                (cout,))
+            b = self.param(f'{name}_b', torch_uniform_init(bound), (cout,))
+            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2)) + 1e-12)
+            return v * (g / norm), b
+
+        w1, b1 = wn_params('expand', 1, n, e)
+        w2, b2 = wn_params('linear', 1, e, L)
+        w3, b3 = wn_params('conv', 3, L, n)
+        dtype = self.dtype or x.dtype
+        args = (x.astype(dtype), w1[0, 0].astype(dtype),
+                b1.astype(jnp.float32), w2[0, 0].astype(dtype),
+                b2.astype(jnp.float32), w3.astype(dtype),
+                b3.astype(jnp.float32))
+        if wdsr_block_fits(x.shape, expand, dtype):
+            return wdsr_block_fused(*args, self.res_scale)
+        return wdsr_block_reference(*args, res_scale=self.res_scale)
 
 
 class WDSR(nn.Module):
@@ -52,6 +92,7 @@ class WDSR(nn.Module):
     n_feats: int = 128
     n_resblocks: int = 16
     res_scale: float = 1.0
+    use_pallas: bool = False   # fused wide-activation blocks (type B only)
     dtype: Any = None
 
     @nn.compact
@@ -67,9 +108,14 @@ class WDSR(nn.Module):
         s = pixel_shuffle(s, r)
 
         x = WNConv2d(self.n_feats, 3, dtype=self.dtype)(x)
-        block = _BlockA if self.block_type == 'A' else _BlockB
         for _ in range(self.n_resblocks):
-            x = block(self.n_feats, self.res_scale, dtype=self.dtype)(x)
+            if self.block_type == 'A':
+                x = _BlockA(self.n_feats, self.res_scale,
+                            dtype=self.dtype)(x)
+            else:
+                x = _BlockB(self.n_feats, self.res_scale,
+                            use_pallas=self.use_pallas,
+                            dtype=self.dtype)(x)
         x = WNConv2d(out_feats, 3, dtype=self.dtype)(x)
         x = pixel_shuffle(x, r)
 

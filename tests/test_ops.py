@@ -177,3 +177,30 @@ def test_resblock_v3_fully_fused_grads_match_reference():
     for got, want in zip(g_v3, g_ref):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=1e-4)
+
+
+def test_wdsr_block_fused_matches_reference():
+    from srtpu.ops.wdsr_block import wdsr_block_fused, wdsr_block_reference
+    rng = np.random.default_rng(7)
+    b, h, w, c = 2, 8, 8, 16
+    L = int(0.8 * c)
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, 6 * c)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(6 * c) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((6 * c, L)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(L) * 0.05, jnp.float32)
+    w3 = jnp.asarray(rng.standard_normal((3, 3, L, c)) * 0.1, jnp.float32)
+    b3 = jnp.asarray(rng.standard_normal(c) * 0.05, jnp.float32)
+
+    out = wdsr_block_fused(x, w1, b1, w2, b2, w3, b3, 0.8)
+    ref = wdsr_block_reference(x, w1, b1, w2, b2, w3, b3, res_scale=0.8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    args = (x, w1, b1, w2, b2, w3, b3)
+    g_f = jax.grad(lambda a: jnp.sum(wdsr_block_fused(*a, 0.8) ** 2))(args)
+    g_r = jax.grad(lambda a: jnp.sum(
+        wdsr_block_reference(*a, res_scale=0.8) ** 2))(args)
+    for got, want in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=1e-4)
