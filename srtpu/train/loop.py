@@ -151,6 +151,8 @@ class Trainer:
                     f'{n_params:,}', n_params * 4 / 2 ** 20)
 
         spe = max(int(cfg.steps_per_execution), 1)
+        if cfg.fast_dev_run:
+            spe = 1  # fast_dev_run wants exactly one observable step
         multi_step = None
         if self.mesh is not None:
             from srtpu.parallel import (make_parallel_train_step,
