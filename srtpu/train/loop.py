@@ -299,9 +299,7 @@ class Trainer:
 
     def _fit_gan(self, model, datamodule, optimizer_params=None,
                  hparams=None):
-        # NB: ckpt_path resume is not yet wired for the GAN loop (the
-        # combined G/D optimizer states round-trip through checkpoints but
-        # the unpack path is future work; standard models resume fully).
+
         from srtpu.models import SRGANDiscriminator, SRGANGenerator
         from srtpu.optim import parse_optimizer_params
         from .gan import create_gan_state, make_gan_train_step, steplr_adam
@@ -319,6 +317,36 @@ class Trainer:
         gstate = create_gan_state(generator, discriminator, rng,
                                   jnp.asarray(train_loader.peek().lr),
                                   g_tx=steplr_adam(lr), d_tx=steplr_adam(lr))
+
+        start_epoch = 0
+        if cfg.ckpt_path:
+            # resume: restore through the combined-view layout and unpack
+            ckpt_dir = (self.root / 'checkpoints'
+                        if cfg.ckpt_path == 'last' else Path(cfg.ckpt_path))
+            view = self._gan_eval_view(model, gstate)
+            mngr = CheckpointManager(ckpt_dir, monitor='')
+            try:
+                view = mngr.restore_last(view)
+            finally:
+                mngr.close()
+            gstate = gstate.replace(
+                step=jnp.asarray(view.step),
+                g_params=view.params['generator'],
+                d_params=view.params['discriminator'],
+                g_batch_stats=view.batch_stats['generator'],
+                d_batch_stats=view.batch_stats['discriminator'],
+                g_opt_state=jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(gstate.g_opt_state),
+                    jax.tree_util.tree_leaves(view.opt_state['g'])),
+                d_opt_state=jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(gstate.d_opt_state),
+                    jax.tree_util.tree_leaves(view.opt_state['d'])))
+            steps_per_epoch = max(len(train_loader), 1)
+            start_epoch = int(gstate.step) // steps_per_epoch
+            self.global_step = int(gstate.step)
+            _logger.log(PRINT, 'resumed GAN from %s at epoch %d (step %d)',
+                        ckpt_dir, start_epoch, self.global_step)
+
         gan_step = make_gan_train_step()
         eval_step = make_eval_step(build_metrics(list(cfg.metrics)))
         self._edge_ops = []
@@ -337,7 +365,7 @@ class Trainer:
         max_epochs = 1 if cfg.fast_dev_run else cfg.max_epochs
         last_logs = None
         try:
-            for epoch in range(max_epochs):
+            for epoch in range(start_epoch, max_epochs):
                 self.current_epoch = epoch
                 t0 = time.time()
                 items = 0

@@ -125,3 +125,34 @@ def test_trainer_dispatches_srgan(tmp_path):
                             'batch_stats': restored.batch_stats},
                            jnp.zeros((1, 8, 8, 3)), train=False)
     assert sr.shape == (1, 16, 16, 3)
+
+
+def test_gan_resume_from_checkpoint(tmp_path):
+    """GAN training resumes from 'last' with G/D params + optimizers."""
+    from PIL import Image
+    from srtpu.data import SRData
+    from srtpu.models import create_model
+    from srtpu.train import Trainer, TrainerConfig
+
+    root = tmp_path / 'ds' / 'G' / 'HR'
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = np.kron(rng.random((12, 12, 3)), np.ones((4, 4, 1)))
+        Image.fromarray((img * 255).astype(np.uint8)).save(root / f'{i}.png')
+
+    def dm():
+        return SRData(batch_size=2, datasets_dir=tmp_path / 'ds',
+                      patch_size=16, scale_factor=2, train_datasets=['G'],
+                      eval_datasets=['G'], eval_bucket=16)
+
+    base = dict(check_val_every_n_epoch=2, default_root_dir=str(
+        tmp_path / 'run'), metrics=('PSNR',), monitor='G/PSNR',
+        num_sanity_val_steps=0, log_weights_every_n_epochs=0)
+    model = create_model('SRGAN', scale_factor=2, ngf=8, ndf=8, n_blocks=1)
+    s1 = Trainer(TrainerConfig(max_epochs=2, **base)).fit(model, dm())
+    assert int(s1.step) == 4
+
+    s2 = Trainer(TrainerConfig(max_epochs=4, ckpt_path='last',
+                               **base)).fit(model, dm())
+    assert int(s2.step) == 8  # resumed at epoch 2, trained 2 more
