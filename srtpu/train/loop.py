@@ -38,7 +38,8 @@ from srtpu.metrics import LOWER_IS_BETTER, build_metrics
 from srtpu.utils.imgops import center_crop
 from srtpu.utils.logging import PRINT, TBLogger, save_image
 from .state import TrainState, create_train_state
-from .steps import make_eval_step, make_predict_step, make_train_step
+from .steps import (dealias_state, make_eval_step, make_predict_step,
+                    make_train_step)
 
 _logger = logging.getLogger(__name__)
 
@@ -164,6 +165,8 @@ class Trainer:
                                 'only; ignoring under a mesh')
                 spe = 1
         else:
+            # donated steps need unique buffers per leaf (see dealias_state)
+            state = dealias_state(state)
             train_step = make_train_step(composite, remat=cfg.remat)
             if spe > 1:
                 from .steps import make_multi_train_step
@@ -347,6 +350,7 @@ class Trainer:
             _logger.log(PRINT, 'resumed GAN from %s at epoch %d (step %d)',
                         ckpt_dir, start_epoch, self.global_step)
 
+        gstate = dealias_state(gstate)
         gan_step = make_gan_train_step()
         eval_step = make_eval_step(build_metrics(list(cfg.metrics)))
         self._edge_ops = []

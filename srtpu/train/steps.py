@@ -19,6 +19,17 @@ from srtpu.metrics import NO_REFERENCE
 from .state import TrainState
 
 
+def dealias_state(state):
+    """Force every state leaf onto its own buffer.
+
+    Freshly initialized states can contain aliased buffers (identical
+    zero-initialized optimizer moments may share storage); donated jits
+    reject aliased inputs on some backends with an opaque
+    INVALID_ARGUMENT. One copy at startup makes donation safe.
+    """
+    return jax.tree_util.tree_map(jnp.copy, state)
+
+
 def make_train_step(composite_loss, donate: bool = True,
                     remat: bool = False):
     """Build train_step(state, lr, hr) -> (state, logs).
