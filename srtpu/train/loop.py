@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import logging
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any
 
@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from srtpu.checkpoint import CheckpointManager
-from srtpu.losses import CompositeLoss, extract_edges, pencil_sketch
+from srtpu.losses import extract_edges, pencil_sketch
 from srtpu.metrics import LOWER_IS_BETTER, build_metrics
 from srtpu.utils.imgops import center_crop
 from srtpu.utils.logging import PRINT, TBLogger, save_image
