@@ -69,10 +69,19 @@ class CheckpointManager:
         return self._mngr.best_step()
 
     def restore(self, state, step: int | None = None):
-        """Restore into ``state`` (template-free read, lenient adaptation —
-        e.g. GAN checkpoints restored for eval keep a fresh optimizer).
-        With no explicit step: the best step by the monitored metric when
-        available (load_from_checkpoint semantics), else the latest."""
+        """Restore into ``state``. With no explicit step: the best step by
+        the monitored metric when available (load_from_checkpoint
+        semantics), else the latest.
+
+        Restores WITH ``state`` as the template so Orbax maps leaves into
+        the live pytree structure (NamedTuple optimizer states included).
+        A template-free read followed by order-based ``tree_unflatten`` is
+        wrong: Orbax re-flattens dicts alphabetically, which silently
+        permutes NamedTuple fields whose names aren't alphabetical (e.g.
+        LookaheadState(inner, slow, count) — 'count' sorts first).
+        Falls back to a template-free read + lenient adaptation when the
+        stored structure genuinely differs (e.g. a GAN checkpoint restored
+        for eval keeps a fresh optimizer)."""
         if step is None and self._monitor:
             try:
                 step = self._mngr.best_step()
@@ -81,15 +90,27 @@ class CheckpointManager:
                 step = None
         if step is None:
             step = self._mngr.latest_step()
+        template = _state_to_tree(state)
         if step is not None:
-            restored = self._mngr.restore(step)
+            try:
+                restored = self._mngr.restore(
+                    step, args=ocp.args.PyTreeRestore(item=template))
+            except Exception:
+                restored = self._mngr.restore(step)
         else:
-            restored = self._last.restore(self._dir / 'last')
+            restored = self._restore_last_tree(template)
         return _tree_to_state(state, restored)
 
     def restore_last(self, state):
-        restored = self._last.restore(self._dir / 'last')
+        restored = self._restore_last_tree(_state_to_tree(state))
         return _tree_to_state(state, restored)
+
+    def _restore_last_tree(self, template):
+        path = self._dir / 'last'
+        try:
+            return self._last.restore(path, item=template)
+        except Exception:
+            return self._last.restore(path)
 
     def close(self):
         self._mngr.close()
@@ -107,14 +128,18 @@ def _state_to_tree(state) -> dict:
 
 def _tree_to_state(state, tree: dict):
     import jax.numpy as jnp
-    try:
-        opt_state = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(state.opt_state),
-            jax.tree_util.tree_leaves(tree['opt_state']))
-    except Exception:
+    if (jax.tree_util.tree_structure(tree['opt_state'])
+            == jax.tree_util.tree_structure(state.opt_state)):
+        # template restore preserved the live structure (incl. NamedTuple
+        # field order) — safe to adopt wholesale
+        opt_state = tree['opt_state']
+    else:
         # optimizer structure changed (e.g. restoring a GAN checkpoint with
         # two optimizers into a fresh single-optimizer state for eval/
-        # predict): keep the fresh optimizer state — params are what matter
+        # predict, or a template-free fallback read that yielded plain
+        # dicts): keep the fresh optimizer state — params are what matter.
+        # NEVER order-based tree_unflatten here: Orbax re-flattens dicts
+        # alphabetically, silently permuting NamedTuple optimizer fields.
         _logger.warning('optimizer state structure mismatch on restore; '
                         'keeping freshly initialized optimizer state')
         opt_state = state.opt_state

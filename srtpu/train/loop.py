@@ -338,12 +338,13 @@ class Trainer:
                 d_params=view.params['discriminator'],
                 g_batch_stats=view.batch_stats['generator'],
                 d_batch_stats=view.batch_stats['discriminator'],
-                g_opt_state=jax.tree_util.tree_unflatten(
-                    jax.tree_util.tree_structure(gstate.g_opt_state),
-                    jax.tree_util.tree_leaves(view.opt_state['g'])),
-                d_opt_state=jax.tree_util.tree_unflatten(
-                    jax.tree_util.tree_structure(gstate.d_opt_state),
-                    jax.tree_util.tree_leaves(view.opt_state['d'])))
+                # template-based restore (CheckpointManager.restore_last)
+                # returns opt states already in the live NamedTuple
+                # structure — or the fresh ones on structure mismatch;
+                # order-based tree_unflatten would permute NamedTuple
+                # fields (Orbax re-flattens dicts alphabetically)
+                g_opt_state=view.opt_state['g'],
+                d_opt_state=view.opt_state['d'])
             steps_per_epoch = max(len(train_loader), 1)
             start_epoch = int(gstate.step) // steps_per_epoch
             self.global_step = int(gstate.step)

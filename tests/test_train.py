@@ -197,6 +197,58 @@ def test_resume_from_checkpoint(tiny_dataset, tmp_path):
     assert int(state2.step) == 8  # resumed at epoch 2, trained 2 more
 
 
+@pytest.mark.parametrize('opt_name', ['Ranger', 'RangerQH', 'RangerVA'])
+def test_opt_state_restore_exact_per_leaf(tiny_dataset, tmp_path, opt_name):
+    """Checkpoint restore maps every optimizer-state leaf back by PATH,
+    not by flattened order. Regression test for the template-free restore
+    bug: Orbax re-flattens dicts alphabetically, and LookaheadState(inner,
+    slow, count) has non-alphabetical field order, so an order-based
+    tree_unflatten silently permuted the Ranger family's state ('count'
+    restored into 'inner'). Adam round-tripped only by coincidence."""
+    from srtpu.checkpoint import CheckpointManager
+    from srtpu.losses import parse_losses
+    from srtpu.train.steps import dealias_state, make_train_step
+    dm = SRData(batch_size=4, datasets_dir=tiny_dataset, patch_size=16,
+                scale_factor=2, train_datasets=['TinyTrain'],
+                eval_datasets=[])
+    dm.setup('fit')
+    model = create_model('SRCNN', scale_factor=2)
+    composite = parse_losses('l1')
+    tx = build_optimizer(opt_name, ['lr=1e-3'])
+    batch = next(iter(dm.train_loader()))
+    lr, hr = jnp.asarray(batch.lr), jnp.asarray(batch.hr)
+    state = dealias_state(create_train_state(model, tx, jax.random.PRNGKey(0),
+                                             lr, composite))
+    step = make_train_step(composite)
+    for _ in range(3):  # make moments/slow-weights non-trivial + distinct
+        state, _ = step(state, lr, hr)
+
+    ckpt_dir = tmp_path / f'ckpt_{opt_name}'
+    mngr = CheckpointManager(ckpt_dir, monitor='', save_top_k=0)
+    mngr.save(int(state.step), state, {})
+    fresh = create_train_state(model, tx, jax.random.PRNGKey(1), lr,
+                               composite)
+    restored = dealias_state(mngr.restore_last(fresh))
+    mngr.close()
+
+    saved_leaves = jax.tree_util.tree_flatten_with_path(state.opt_state)[0]
+    rest_leaves = jax.tree_util.tree_flatten_with_path(restored.opt_state)[0]
+    assert len(saved_leaves) == len(rest_leaves)
+    for (p1, l1), (p2, l2) in zip(saved_leaves, rest_leaves):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   err_msg=jax.tree_util.keystr(p1))
+
+    # continued training from the restored state is bit-identical to
+    # continuing from the original
+    s_a, logs_a = step(state, lr, hr)
+    s_b, logs_b = step(restored, lr, hr)
+    np.testing.assert_allclose(float(logs_a['loss']), float(logs_b['loss']))
+    for a, b in zip(jax.tree_util.tree_leaves(s_a.params),
+                    jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_remat_step_matches_plain(tiny_dataset):
     """jax.checkpoint'ed step produces identical updates."""
     from srtpu.losses import parse_losses
