@@ -44,7 +44,13 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _SO_PATH.exists() and not _build():
+    # rebuild when missing OR stale: the .so is built with -march=native
+    # (never distributed), so a leftover binary from another host's ISA or
+    # an edited patchops.cc must not be silently preferred
+    src = _SO_PATH.with_name('patchops.cc')
+    stale = (_SO_PATH.exists() and src.exists()
+             and src.stat().st_mtime > _SO_PATH.stat().st_mtime)
+    if (not _SO_PATH.exists() or stale) and not _build():
         return None
     try:
         lib = ctypes.CDLL(str(_SO_PATH))

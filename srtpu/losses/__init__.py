@@ -95,6 +95,9 @@ class CompositeLoss:
         loss_params = loss_params or {}
         total = 0.0
         per_loss: dict[str, jax.Array] = {}
+        name_counts: dict[str, int] = {}
+        for s in self.sub_losses:
+            name_counts[s.name] = name_counts.get(s.name, 0) + 1
         for i, s in enumerate(self.sub_losses):
             x = jnp.clip(sr, 0.0, 1.0) if s.clamp_sr else sr
             key = f'{i}_{s.name}'
@@ -103,7 +106,11 @@ class CompositeLoss:
             else:
                 value = s.fn(x, hr)
             weighted = s.weight * value
-            per_loss[s.name] = weighted
+            # log key: bare name normally; index-qualified when the DSL
+            # repeats a loss type (e.g. '0.3 * l1 + 0.7 * l1') so one term
+            # doesn't silently overwrite the other in the logs
+            log_key = s.name if name_counts[s.name] == 1 else key
+            per_loss[log_key] = weighted
             total = total + weighted
         return total, per_loss
 
@@ -114,6 +121,10 @@ def parse_losses(losses_str: str, patch_size: int = 128) -> CompositeLoss:
     subs = []
     for term in losses_str.split('+'):
         parts = term.split('*')
+        if len(parts) > 2:
+            raise ValueError(
+                f'malformed loss term {term.strip()!r}: expected '
+                f'"weight * name" or "name"')
         if len(parts) == 2:
             weight_str, loss_type = parts
             try:

@@ -113,16 +113,58 @@ def _try_load(net_type: str, weights: str | None):
     return None
 
 
+def _l2_pool(x: jax.Array) -> jax.Array:
+    """Depthwise L2-pooling: sqrt of hann-windowed average of squares,
+    stride 2 (the DISTS paper's anti-aliased pool; piq.DISTS replaces every
+    VGG max-pool with this)."""
+    c = x.shape[-1]
+    w = np.hanning(5)[1:-1]
+    k = np.outer(w, w)
+    k = (k / k.sum()).astype(np.float32)
+    kern = jnp.asarray(np.tile(k[:, :, None, None], (1, 1, 1, c)), x.dtype)
+    out = jax.lax.conv_general_dilated(
+        jnp.square(x), kern, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), feature_group_count=c)
+    return jnp.sqrt(out + 1e-12)
+
+
 def vgg_features(params: list[dict], plan, x: jax.Array,
-                 taps: tuple[str, ...]) -> dict[str, jax.Array]:
-    """Run the conv stack, returning activations at the named taps."""
+                 taps: tuple[str, ...], pool: str = 'max',
+                 mask: jax.Array | None = None):
+    """Run the conv stack, returning ``(activations, masks)`` dicts at the
+    named taps.
+
+    With ``mask`` (NHW1 validity of a top-left rectangle, the eval padding
+    convention of data/pipeline.py pad_to_bucket), activations are zeroed
+    outside the valid region after EVERY layer. This makes the computation
+    on a padded image bit-equal, inside the valid region, to running the
+    unpadded image through the same stack: 'SAME' convs zero-pad at the
+    true boundary either way, and the 2x2/2 VALID max-pool windows that
+    survive min-pooling the mask only ever touch valid rows/cols. Callers
+    can therefore take masked spatial means and score a padded and an
+    unpadded copy of one image identically (reference evaluates true
+    shapes, srmodel.py:214-232).
+    """
+    assert mask is None or pool == 'max', 'masking implemented for max-pool'
     names = _layer_names(plan)
     outputs = {}
+    masks = {}
     conv_i = 0
+    if mask is not None:
+        mask = mask.astype(x.dtype)
+        x = x * mask
     for p, name in zip(plan, names):
         if p == 'M':
-            x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
-                                      (1, 2, 2, 1), (1, 2, 2, 1), 'VALID')
+            if pool == 'l2':
+                x = _l2_pool(x)
+            else:
+                x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                          (1, 2, 2, 1), (1, 2, 2, 1), 'VALID')
+                if mask is not None:
+                    # a pooled cell is valid iff its whole window is
+                    mask = -jax.lax.reduce_window(
+                        -mask, -jnp.inf, jax.lax.max,
+                        (1, 2, 2, 1), (1, 2, 2, 1), 'VALID')
         else:
             w = params[conv_i]
             x = jax.lax.conv_general_dilated(
@@ -131,16 +173,19 @@ def vgg_features(params: list[dict], plan, x: jax.Array,
                 + w['bias'].astype(x.dtype)
             x = jax.nn.relu(x)
             conv_i += 1
+        if mask is not None:
+            x = x * mask
         if name in outputs:
             continue
         if name in taps:
             outputs[name] = x
+            masks[name] = mask
         if len(outputs) == len(taps):
             break
     missing = set(taps) - set(outputs)
     if missing:
         raise ValueError(f'Unknown VGG taps: {sorted(missing)}')
-    return outputs
+    return outputs, masks
 
 
 def _normalize_imagenet(x: jax.Array) -> jax.Array:
@@ -170,8 +215,10 @@ class VGGLoss:
         sr = _normalize_imagenet(sr.astype(jnp.float32))
         hr = _normalize_imagenet(hr.astype(jnp.float32))
         frozen = jax.tree_util.tree_map(jax.lax.stop_gradient, self.params)
-        f_sr = vgg_features(frozen, self.plan, sr, (self.layer,))[self.layer]
-        f_hr = vgg_features(frozen, self.plan, hr, (self.layer,))[self.layer]
+        f_sr = vgg_features(frozen, self.plan, sr,
+                            (self.layer,))[0][self.layer]
+        f_hr = vgg_features(frozen, self.plan, hr,
+                            (self.layer,))[0][self.layer]
         return jnp.mean(jnp.square(f_sr - f_hr)) * self.rescale
 
 
@@ -206,7 +253,8 @@ class LPIPS:
         dims = (64, 128, 256, 512, 512)
         return [jnp.ones((d,), jnp.float32) / d for d in dims]
 
-    def __call__(self, sr: jax.Array, hr: jax.Array, params=None):
+    def __call__(self, sr: jax.Array, hr: jax.Array, params=None,
+                 mask: jax.Array | None = None):
         shift = jnp.asarray(_LPIPS_SHIFT, jnp.float32)
         scale = jnp.asarray(_LPIPS_SCALE, jnp.float32)
 
@@ -215,8 +263,10 @@ class LPIPS:
             return (x - shift) / scale
 
         frozen = jax.tree_util.tree_map(jax.lax.stop_gradient, self.params)
-        f_sr = vgg_features(frozen, self.plan, prep(sr), _LPIPS_TAPS)
-        f_hr = vgg_features(frozen, self.plan, prep(hr), _LPIPS_TAPS)
+        f_sr, msks = vgg_features(frozen, self.plan, prep(sr), _LPIPS_TAPS,
+                                  mask=mask)
+        f_hr, _ = vgg_features(frozen, self.plan, prep(hr), _LPIPS_TAPS,
+                               mask=mask)
 
         total = 0.0
         for tap, lin in zip(_LPIPS_TAPS, self.lin_weights):
@@ -224,7 +274,13 @@ class LPIPS:
             b = _unit_normalize(f_hr[tap])
             d = jnp.square(a - b)
             d = jnp.sum(d * lin, axis=-1)          # learned 1x1 conv
-            total = total + jnp.mean(d, axis=(1, 2))  # spatial mean
+            m = msks[tap]
+            if m is None:
+                total = total + jnp.mean(d, axis=(1, 2))  # spatial mean
+            else:
+                m2 = m[..., 0]
+                total = total + (jnp.sum(d * m2, axis=(1, 2))
+                                 / jnp.maximum(jnp.sum(m2, axis=(1, 2)), 1.0))
         return jnp.mean(total)
 
 
@@ -274,8 +330,12 @@ class DISTS:
         sr32 = _normalize_imagenet(sr.astype(jnp.float32))
         hr32 = _normalize_imagenet(hr.astype(jnp.float32))
         frozen = jax.tree_util.tree_map(jax.lax.stop_gradient, self.params)
-        sr_taps = vgg_features(frozen, self.plan, sr32, _DISTS_TAPS)
-        hr_taps = vgg_features(frozen, self.plan, hr32, _DISTS_TAPS)
+        # DISTS runs VGG16 with L2-pooling in place of max-pooling (the
+        # paper's anti-aliased feature stack; piq.DISTS does the same)
+        sr_taps = vgg_features(frozen, self.plan, sr32, _DISTS_TAPS,
+                               pool='l2')[0]
+        hr_taps = vgg_features(frozen, self.plan, hr32, _DISTS_TAPS,
+                               pool='l2')[0]
         feats_sr = [sr.astype(jnp.float32)] + [sr_taps[t]
                                                for t in _DISTS_TAPS]
         feats_hr = [hr.astype(jnp.float32)] + [hr_taps[t]

@@ -48,7 +48,8 @@ def build_metrics(names: list[str]) -> dict[str, Callable]:
                 f"{', '.join(sorted(registry))}")
         if name == 'LPIPS':
             lp = LPIPS()
-            out[name] = lambda sr, hr, mask=None, _lp=lp: _lp(sr, hr)
+            out[name] = lambda sr, hr, mask=None, _lp=lp: _lp(sr, hr,
+                                                              mask=mask)
         else:
             out[name] = registry[name]
     return out

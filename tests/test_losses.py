@@ -43,6 +43,23 @@ def test_dsl_unknown_loss_raises():
         parse_losses('notaloss')
 
 
+def test_dsl_malformed_term_raises():
+    with pytest.raises(ValueError, match='malformed loss term'):
+        parse_losses('0.5*l1*2')
+
+
+def test_composite_repeated_loss_logs_both_terms():
+    """'0.3 * l1 + 0.7 * l1' must log both terms (index-qualified), not
+    silently overwrite one; the total is unaffected."""
+    comp = parse_losses('0.3 * l1 + 0.7 * l1')
+    sr, hr = _imgs()
+    total, parts = comp(sr, hr)
+    assert set(parts) == {'0_l1', '1_l1'}
+    assert np.isclose(float(total), float(parts['0_l1'] + parts['1_l1']))
+    assert np.isclose(float(parts['0_l1']) / 0.3,
+                      float(parts['1_l1']) / 0.7, rtol=1e-5)
+
+
 def test_l1_l2_golden():
     sr = jnp.ones((1, 4, 4, 3)) * 0.5
     hr = jnp.zeros((1, 4, 4, 3))

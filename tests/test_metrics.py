@@ -84,6 +84,29 @@ def test_masked_ssim_close_to_unpadded():
     assert abs(float(ssim(xp, yp, mask=mask)) - base) < 5e-3
 
 
+def test_masked_lpips_equals_unpadded():
+    """LPIPS on a padded+masked image == LPIPS on the unpadded image.
+
+    The masked feature stack zeroes activations outside the valid region
+    after every layer, making the padded computation bit-equal to the
+    unpadded one inside the valid region (padding must not contaminate
+    LPIPS the way it would with an unmasked spatial mean — reference
+    evaluates true shapes, srmodel.py:214-232)."""
+    from srtpu.losses.vgg import LPIPS
+    lp = LPIPS()  # deterministic random-init weights are fine: the
+    #               identity property is weight-independent
+    x, y = _imgs(shape=(1, 37, 45, 3))
+    base = float(lp(x, y))
+    xp = jnp.pad(x, ((0, 0), (0, 27), (0, 19), (0, 0)), mode='edge')
+    yp = jnp.pad(y, ((0, 0), (0, 27), (0, 19), (0, 0)), mode='edge')
+    mask = jnp.zeros((1, 64, 64, 1)).at[:, :37, :45, :].set(1.0)
+    masked = float(lp(xp, yp, mask=mask))
+    unmasked = float(lp(xp, yp))
+    assert np.isclose(masked, base, rtol=1e-5, atol=1e-7), (masked, base)
+    # sanity: without the mask the padding genuinely changes the score
+    assert not np.isclose(unmasked, base, rtol=1e-5, atol=1e-7)
+
+
 def test_build_metrics_all():
     metrics = build_metrics(['PSNR', 'SSIM', 'MS-SSIM', 'FLIP', 'BRISQUE'])
     sr, hr = _imgs(shape=(1, 192, 192, 3))
