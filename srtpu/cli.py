@@ -62,8 +62,13 @@ def _setup(cfg):
               log_dir=root_dir)
 
 
-def _make_mesh_and_sharding(cfg):
-    """Build the device mesh from trainer.devices / spatial_devices."""
+def _make_mesh_and_sharding(cfg, for_fit: bool = True):
+    """Build the device mesh from trainer.devices / spatial_devices.
+
+    ``for_fit=False`` (validate/predict) skips the train-batch divisibility
+    check: eval runs batch-1 images row-sharded over the whole mesh
+    (reference keeps DDP uniform across fit/validate/predict, all.yml:125).
+    """
     import jax
     from srtpu.parallel import batch_sharding, make_mesh
 
@@ -77,11 +82,12 @@ def _make_mesh_and_sharding(cfg):
         n = avail
     if n <= 1 and spatial <= 1:
         return None, None
-    batch = cfg['data']['batch_size']
-    if batch % (n // spatial) != 0:
-        raise ValueError(
-            f'data.batch_size ({batch}) must be divisible by the data-'
-            f'parallel axis ({n // spatial} = devices/spatial_devices)')
+    if for_fit:
+        batch = cfg['data']['batch_size']
+        if batch % (n // spatial) != 0:
+            raise ValueError(
+                f'data.batch_size ({batch}) must be divisible by the data-'
+                f'parallel axis ({n // spatial} = devices/spatial_devices)')
     mesh = make_mesh(data=n // spatial, spatial=spatial,
                      devices=jax.devices()[:n])
     return mesh, batch_sharding(mesh)
@@ -98,7 +104,15 @@ def cmd_fit(args) -> int:
     mesh, sharding = _make_mesh_and_sharding(cfg)
     trainer = Trainer(tcfg, mesh=mesh, batch_sharding=sharding)
     t0 = time.time()
-    trainer.fit(model, dm, **fit_kwargs)
+    try:
+        trainer.fit(model, dm, **fit_kwargs)
+    except BaseException as e:
+        # failure notification (reference notifies/uploads on crash too,
+        # train.py:240-257 + utils.sh telegram notify); the Trainer has
+        # already saved a crash checkpoint and flushed run.log
+        _notify(f'srtpu fit {cfg["model"]["class_path"]} FAILED after '
+                f'{time.time() - t0:.0f}s: {type(e).__name__}: {e}')
+        raise
     _logger.info('fit finished in %.1fs; checkpoints at %s',
                  time.time() - t0, Path(tcfg.default_root_dir) /
                  'checkpoints')
@@ -167,7 +181,8 @@ def cmd_validate(args) -> int:
         default_root_dir=cfg['trainer'].get('default_root_dir') or '.',
         metrics=tuple(cfg['model'].get('init_args', {}).get(
             'metrics', ['PSNR', 'SSIM'])))
-    trainer = Trainer(tcfg)
+    mesh, _ = _make_mesh_and_sharding(cfg, for_fit=False)
+    trainer = Trainer(tcfg, mesh=mesh)
     metrics = trainer.validate(state, dm)
     for k, v in sorted(metrics.items()):
         print(f'{k}: {v:.4f}')
@@ -194,7 +209,8 @@ def cmd_predict(args) -> int:
                 eval_datasets=[], train_datasets=[])
     tcfg = TrainerConfig(
         default_root_dir=cfg['trainer'].get('default_root_dir') or '.')
-    Trainer(tcfg).predict(state, dm)
+    mesh, _ = _make_mesh_and_sharding(cfg, for_fit=False)
+    Trainer(tcfg, mesh=mesh).predict(state, dm)
     return 0
 
 

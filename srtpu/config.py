@@ -60,6 +60,7 @@ DEFAULTS: dict[str, Any] = {
         'num_sanity_val_steps': 2,
         'limit_train_batches': None,
         'limit_val_batches': None,
+        'overfit_batches': 0,       # >0: train on the SAME N batches/epoch
         'fast_dev_run': False,
         'enable_checkpointing': True,
         'save_top_k': 3,
@@ -280,6 +281,7 @@ def build_all(cfg: dict):
         accumulate_grad_batches=trainer.get('accumulate_grad_batches', 1),
         limit_train_batches=trainer.get('limit_train_batches'),
         limit_val_batches=trainer.get('limit_val_batches'),
+        overfit_batches=int(trainer.get('overfit_batches', 0) or 0),
         fast_dev_run=trainer.get('fast_dev_run', False),
         seed=cfg.get('seed', 42),
         enable_checkpointing=trainer.get('enable_checkpointing', True),

@@ -43,7 +43,8 @@ _CONV_PLAN = [
 _TAPS = (3, 5, 7, 9, 11)
 
 
-def _init_params(rng_seed: int = 0, weights: str | None = None):
+def _init_params(rng_seed: int = 0, weights: str | None = None,
+                 return_loaded: bool = False):
     loaded = _try_load(weights)
     rng = np.random.default_rng(rng_seed)
     params = {'convs': [], 'fc_score': [], 'fc_weight': []}
@@ -81,6 +82,8 @@ def _init_params(rng_seed: int = 0, weights: str | None = None):
 
     params['fc_score'] = fc_stack('fc_score', feat_len)
     params['fc_weight'] = fc_stack('fc_weight', coarse_len)
+    if return_loaded:
+        return params, loaded is not None
     return params
 
 
@@ -155,7 +158,8 @@ class PieAPP:
     trainable = False
 
     def __init__(self, weights: str | None = None, rng_seed: int = 0):
-        self.params = _init_params(rng_seed, weights)
+        self.params, self.pretrained = _init_params(rng_seed, weights,
+                                                    return_loaded=True)
 
     def __call__(self, sr: jax.Array, hr: jax.Array, params=None):
         frozen = jax.tree_util.tree_map(jax.lax.stop_gradient, self.params)

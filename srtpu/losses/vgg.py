@@ -57,8 +57,14 @@ def vgg_layer_names(net_type: str) -> list[str]:
 
 
 def init_vgg_params(net_type: str = 'vgg19', rng_seed: int = 0,
-                    weights: str | None = None) -> list[dict]:
-    """Build the conv parameter list, from converted weights if available."""
+                    weights: str | None = None,
+                    return_loaded: bool = False):
+    """Build the conv parameter list, from converted weights if available.
+
+    ``return_loaded=True`` additionally returns whether real (converted
+    pretrained) weights were found — callers surface this loudly at fit
+    time (reference gets torchvision weights at runtime,
+    losses/losses.py:128,170)."""
     plan = VGG16_PLAN if net_type == 'vgg16' else VGG19_PLAN
 
     loaded = _try_load(net_type, weights)
@@ -81,6 +87,8 @@ def init_vgg_params(net_type: str = 'vgg19', rng_seed: int = 0,
             b = rng.uniform(-bound, bound, p).astype(np.float32)
         params.append({'kernel': jnp.asarray(kernel), 'bias': jnp.asarray(b)})
         in_c = p
+    if return_loaded:
+        return params, loaded is not None
     return params
 
 
@@ -209,7 +217,8 @@ class VGGLoss:
         self.layer = layer
         self.rescale = rescale
         self.plan = VGG16_PLAN if net_type == 'vgg16' else VGG19_PLAN
-        self.params = init_vgg_params(net_type, weights=weights)
+        self.params, self.pretrained = init_vgg_params(
+            net_type, weights=weights, return_loaded=True)
 
     def __call__(self, sr: jax.Array, hr: jax.Array, params=None):
         sr = _normalize_imagenet(sr.astype(jnp.float32))
@@ -233,25 +242,25 @@ class LPIPS:
 
     trainable = False
 
-    def __init__(self, weights: str | None = None, rng_seed: int = 0):
+    def __init__(self, weights_dir: str | None = None, rng_seed: int = 0):
+        wdir = Path(weights_dir
+                    or os.environ.get('SRTPU_WEIGHTS_DIR', 'weights'))
         self.plan = VGG16_PLAN
-        self.params = init_vgg_params('vgg16', rng_seed=rng_seed,
-                                      weights=weights)
-        self.lin_weights = self._load_lin(weights)
+        self.params, vgg_loaded = init_vgg_params(
+            'vgg16', rng_seed=rng_seed,
+            weights=wdir / 'vgg16_features.npz', return_loaded=True)
+        self.lin_weights, lin_loaded = self._load_lin(wdir)
+        self.pretrained = vgg_loaded and lin_loaded
 
-    def _load_lin(self, weights):
-        path = weights
-        if path is None:
-            wdir = os.environ.get('SRTPU_WEIGHTS_DIR', 'weights')
-            path = Path(wdir) / 'lpips_lin.npz'
-        path = Path(path)
+    def _load_lin(self, wdir: Path):
+        path = Path(wdir) / 'lpips_lin.npz'
         if path.exists():
             data = np.load(path)
-            return [jnp.asarray(data[f'lin{i}']) for i in range(5)]
+            return [jnp.asarray(data[f'lin{i}']) for i in range(5)], True
         _logger.warning('LPIPS linear weights not found at %s — using unit '
                         'weights (feature distances unweighted).', path)
         dims = (64, 128, 256, 512, 512)
-        return [jnp.ones((d,), jnp.float32) / d for d in dims]
+        return [jnp.ones((d,), jnp.float32) / d for d in dims], False
 
     def __call__(self, sr: jax.Array, hr: jax.Array, params=None,
                  mask: jax.Array | None = None):
@@ -302,28 +311,28 @@ class DISTS:
 
     trainable = False
 
-    def __init__(self, weights: str | None = None, rng_seed: int = 0):
+    def __init__(self, weights_dir: str | None = None, rng_seed: int = 0):
+        wdir = Path(weights_dir
+                    or os.environ.get('SRTPU_WEIGHTS_DIR', 'weights'))
         self.plan = VGG16_PLAN
-        self.params = init_vgg_params('vgg16', rng_seed=rng_seed,
-                                      weights=weights)
-        self.alpha, self.beta = self._load_ab(weights)
+        self.params, vgg_loaded = init_vgg_params(
+            'vgg16', rng_seed=rng_seed,
+            weights=wdir / 'vgg16_features.npz', return_loaded=True)
+        (self.alpha, self.beta), ab_loaded = self._load_ab(wdir)
+        self.pretrained = vgg_loaded and ab_loaded
 
-    def _load_ab(self, weights):
-        path = weights
-        if path is None:
-            wdir = os.environ.get('SRTPU_WEIGHTS_DIR', 'weights')
-            path = Path(wdir) / 'dists_ab.npz'
-        path = Path(path)
+    def _load_ab(self, wdir: Path):
+        path = Path(wdir) / 'dists_ab.npz'
         dims = (3, 64, 128, 256, 512, 512)
         if path.exists():
             data = np.load(path)
             return ([jnp.asarray(data[f'alpha{i}']) for i in range(6)],
-                    [jnp.asarray(data[f'beta{i}']) for i in range(6)])
+                    [jnp.asarray(data[f'beta{i}']) for i in range(6)]), True
         _logger.warning('DISTS alpha/beta weights not found at %s — using '
                         'uniform weights.', path)
         total = sum(dims) * 2
         return ([jnp.full((d,), 1.0 / total) for d in dims],
-                [jnp.full((d,), 1.0 / total) for d in dims])
+                [jnp.full((d,), 1.0 / total) for d in dims]), False
 
     def __call__(self, sr: jax.Array, hr: jax.Array, params=None):
         c1 = c2 = 1e-6

@@ -61,6 +61,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P('data', 'spatial'))
 
 
+def eval_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC eval batch: H over ALL mesh devices, N replicated.
+
+    Validation/prediction run one full-resolution image at a time
+    (batch 1, reference srdata.py:518-524), so the batch axis cannot be
+    sharded; the image's row axis is split across the whole mesh instead —
+    the context-parallel analog (SURVEY.md §2.2), with XLA inserting conv
+    halo exchanges.
+    """
+    return NamedSharding(mesh, P(None, ('data', 'spatial')))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -68,6 +80,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, *arrays):
     """Place host arrays onto the mesh with batch/spatial sharding."""
     sh = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def shard_eval_batch(mesh: Mesh, *arrays):
+    """Place batch-1 eval arrays onto the mesh row-sharded (see
+    :func:`eval_sharding`)."""
+    sh = eval_sharding(mesh)
     out = tuple(jax.device_put(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
 
@@ -125,9 +145,10 @@ def make_parallel_train_step(composite_loss, mesh: Mesh,
 
 
 def make_parallel_eval_step(metrics, mesh: Mesh):
-    """Spatially-sharded eval: one full-resolution image split over the
-    'spatial' axis (halo exchange by XLA) with metrics psum-reduced."""
-    from srtpu.train.steps import make_eval_step
+    """Row-sharded eval: one full-resolution image split over ALL mesh
+    devices (halo exchange by XLA) with metric reductions inserted by the
+    SPMD partitioner. Works under any ('data','spatial') mesh shape — the
+    batch axis is 1 at eval time and stays replicated."""
     import jax.numpy as jnp
     from srtpu.metrics import NO_REFERENCE
 
@@ -147,10 +168,28 @@ def make_parallel_eval_step(metrics, mesh: Mesh):
         return sr, results
 
     rep = replicated(mesh)
-    data = batch_sharding(mesh)
+    rows = eval_sharding(mesh)
     return jax.jit(eval_step,
-                   in_shardings=(rep, data, data, data),
-                   out_shardings=(data, rep))
+                   in_shardings=(rep, rows, rows, rows),
+                   out_shardings=(rows, rep))
+
+
+def make_parallel_predict_step(mesh: Mesh):
+    """Row-sharded inference: the LR image is split over all mesh devices
+    (same layout as :func:`make_parallel_eval_step`)."""
+    import jax.numpy as jnp
+
+    def predict_step(state, lr_img):
+        variables = {'params': state.params}
+        if state.batch_stats:
+            variables['batch_stats'] = state.batch_stats
+        sr = state.apply_fn(variables, lr_img, train=False)
+        return jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
+
+    rep = replicated(mesh)
+    rows = eval_sharding(mesh)
+    return jax.jit(predict_step, in_shardings=(rep, rows),
+                   out_shardings=rows)
 
 
 def psum_metrics(values: dict[str, Any], axis_name: str = 'data'):

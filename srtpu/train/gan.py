@@ -77,7 +77,13 @@ def create_gan_state(generator, discriminator, rng, sample_lr,
 def make_gan_train_step(gan_mode: str = 'wgangp',
                         vgg_loss: VGGLoss | None = None,
                         adv_weight: float = 1e-3,
-                        tv_weight: float = 2e-8):
+                        tv_weight: float = 2e-8,
+                        mesh=None):
+    """Fused D+G adversarial step. With ``mesh``, the step compiles with
+    replicated G/D state and ('data','spatial')-sharded batches — the same
+    SPMD recipe as make_parallel_train_step (gradient psum inserted by
+    XLA), so SRGAN trains data-parallel instead of silently falling back
+    to one device."""
     vgg = vgg_loss if vgg_loss is not None else VGGLoss(
         net_type='vgg19', layer='relu5_4')
 
@@ -144,4 +150,9 @@ def make_gan_train_step(gan_mode: str = 'wgangp',
             g_opt_state=new_g_opt, d_opt_state=new_d_opt)
         return new_state, logs
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    from srtpu.parallel import batch_sharding, replicated
+    rep, data = replicated(mesh), batch_sharding(mesh)
+    return jax.jit(train_step, in_shardings=(rep, data, data),
+                   out_shardings=(rep, rep), donate_argnums=(0,))

@@ -36,7 +36,8 @@ from srtpu.checkpoint import CheckpointManager
 from srtpu.losses import extract_edges, pencil_sketch
 from srtpu.metrics import LOWER_IS_BETTER, build_metrics
 from srtpu.utils.imgops import center_crop
-from srtpu.utils.logging import PRINT, TBLogger, save_image
+from srtpu.utils.logging import PRINT, save_image
+from srtpu.utils.tracking import MultiTracker
 from .state import TrainState, create_train_state
 from .steps import (dealias_state, make_eval_step, make_predict_step,
                     make_train_step)
@@ -61,6 +62,9 @@ class TrainerConfig:
     accumulate_grad_batches: int = 1
     limit_train_batches: int | None = None
     limit_val_batches: int | None = None
+    overfit_batches: int = 0   # >0: train on the SAME N batches every epoch
+    #                            (sampler epoch pinned; overfit harness,
+    #                            reference all.yml:87)
     fast_dev_run: bool = False
     seed: int = 42
     enable_checkpointing: bool = True
@@ -83,7 +87,9 @@ class Trainer:
         self.batch_sharding = batch_sharding
         self.root = Path(config.default_root_dir)
         self.root.mkdir(parents=True, exist_ok=True)
-        self.tb = TBLogger(self.root / 'tensorboard_logs')
+        # fan-out tracker: TensorBoard + always-on JSONL export + optional
+        # Comet (reference's Comet/TB logger pair, SURVEY.md §5)
+        self.tb = MultiTracker(self.root, self.root / 'tensorboard_logs')
         self.global_step = 0
         self.current_epoch = 0
         self._ckpt: CheckpointManager | None = None
@@ -112,6 +118,7 @@ class Trainer:
                                  hparams=hparams)
 
         composite = parse_losses(losses)
+        self._warn_missing_pretrained(composite)
         tx = build_optimizer(optimizer_name, optimizer_params)
         if cfg.accumulate_grad_batches > 1:
             tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
@@ -123,6 +130,13 @@ class Trainer:
 
         train_loader = datamodule.train_loader(sharding=self.batch_sharding)
         sample_lr = jnp.asarray(train_loader.peek().lr)
+
+        # overfit harness (reference all.yml:87): train on the SAME first N
+        # batches every epoch — the sampler epoch is pinned below so the
+        # patch positions/augments repeat too
+        limit_train = cfg.limit_train_batches
+        if cfg.overfit_batches > 0:
+            limit_train = cfg.overfit_batches
 
         if state is None:
             rng = jax.random.PRNGKey(0 if cfg.deterministic else cfg.seed)
@@ -139,9 +153,8 @@ class Trainer:
             finally:
                 mngr.close()
             steps_per_epoch = len(train_loader)
-            if cfg.limit_train_batches is not None:
-                steps_per_epoch = min(steps_per_epoch,
-                                      cfg.limit_train_batches)
+            if limit_train is not None:
+                steps_per_epoch = min(steps_per_epoch, limit_train)
             steps_per_epoch = max(steps_per_epoch, 1)
             self.current_epoch = int(state.step) // steps_per_epoch
             self.global_step = int(state.step)
@@ -172,7 +185,7 @@ class Trainer:
                 from .steps import make_multi_train_step
                 multi_step = make_multi_train_step(composite, spe,
                                                    remat=cfg.remat)
-        eval_step = make_eval_step(build_metrics(list(cfg.metrics)))
+        eval_step = self._make_eval_step(build_metrics(list(cfg.metrics)))
         self._edge_ops = [s.name for s in composite.sub_losses
                           if s.name in ('edge_loss', 'pencil_sketch')]
         self._saved_hr_versions: set[str] = set()
@@ -186,6 +199,10 @@ class Trainer:
                 self.root / 'checkpoints', monitor=monitor or '',
                 mode='min' if metric_name in LOWER_IS_BETTER else 'max',
                 save_top_k=cfg.save_top_k, hparams=hparams or {})
+        if hparams:
+            # before-fit config logging (reference Comet log_parameters,
+            # main.py:45-74)
+            self.tb.params(hparams)
 
         max_epochs = 1 if cfg.fast_dev_run else cfg.max_epochs
 
@@ -204,13 +221,13 @@ class Trainer:
                 self.current_epoch = epoch
                 t0 = time.time()
                 items = 0
-                train_loader.set_epoch(epoch)
+                train_loader.set_epoch(
+                    0 if cfg.overfit_batches > 0 else epoch)
                 if spe > 1:
                     # steps_per_execution: stack k batches, scan on device
                     pend_lr, pend_hr = [], []
                     for i, batch in enumerate(train_loader):
-                        if cfg.limit_train_batches is not None \
-                                and i >= cfg.limit_train_batches:
+                        if limit_train is not None and i >= limit_train:
                             break
                         pend_lr.append(np.asarray(batch.lr))
                         pend_hr.append(np.asarray(batch.hr))
@@ -230,8 +247,7 @@ class Trainer:
                         items += a.shape[0]
                 else:
                     for i, batch in enumerate(train_loader):
-                        if cfg.limit_train_batches is not None \
-                                and i >= cfg.limit_train_batches:
+                        if limit_train is not None and i >= limit_train:
                             break
                         if cfg.fast_dev_run and i >= 1:
                             break
@@ -267,20 +283,43 @@ class Trainer:
                                                    datamodule)
                     if self._ckpt is not None:
                         self._ckpt.save(epoch + 1, state, metrics)
-        except KeyboardInterrupt:
-            # graceful stop: persist a resumable 'last' checkpoint (the
-            # reference's crash path at least uploads logs, train.py:246;
-            # we can do better and keep the weights)
+        except BaseException as e:
+            # crash containment (reference train.py:240-257 semantics, plus
+            # keeping the weights): ANY failure — OOM, NaN crash, Ctrl-C —
+            # still persists a resumable 'last' checkpoint, writes the
+            # traceback to run.log, and flushes tracker artifacts via the
+            # finally block below before re-raising.
             if self._ckpt is not None:
-                _logger.log(PRINT, 'interrupted — saving last checkpoint')
-                self._ckpt.save(self.current_epoch + 1, state, {})
+                _logger.log(PRINT, '%s during fit — saving last checkpoint',
+                            type(e).__name__)
+                try:
+                    self._ckpt.save(self.current_epoch + 1, state, {})
+                except Exception:
+                    _logger.exception('failed to save crash checkpoint')
+            if not isinstance(e, KeyboardInterrupt):
+                _logger.exception('fit crashed')
             raise
         finally:
             if cfg.profiler_dir:
                 jax.profiler.stop_trace()
             if self._ckpt is not None:
                 self._ckpt.close()
+            self._record_run_artifacts()
         return state
+
+    def _record_run_artifacts(self) -> None:
+        """Post-fit artifact bundle (reference after_fit uploads last.ckpt +
+        run.log to Comet, main.py:76-84) — runs on success AND on crash."""
+        try:
+            ckpts = self.root / 'checkpoints'
+            if ckpts.exists():
+                self.tb.asset(ckpts)
+            run_log = self.root / 'run.log'
+            if run_log.exists():
+                self.tb.asset(run_log)
+            self.tb.flush()
+        except Exception:
+            _logger.warning('recording run artifacts failed', exc_info=True)
 
     # ------------------------------------------------------------ GAN fit
 
@@ -351,9 +390,12 @@ class Trainer:
             _logger.log(PRINT, 'resumed GAN from %s at epoch %d (step %d)',
                         ckpt_dir, start_epoch, self.global_step)
 
+        if self.mesh is not None:
+            from srtpu.parallel import replicate_state
+            gstate = replicate_state(self.mesh, gstate)
         gstate = dealias_state(gstate)
-        gan_step = make_gan_train_step()
-        eval_step = make_eval_step(build_metrics(list(cfg.metrics)))
+        gan_step = make_gan_train_step(mesh=self.mesh)
+        eval_step = self._make_eval_step(build_metrics(list(cfg.metrics)))
         self._edge_ops = []
         self._saved_hr_versions = set()
 
@@ -408,18 +450,62 @@ class Trainer:
                                                    datamodule)
                     if self._ckpt is not None:
                         self._ckpt.save(epoch + 1, view, metrics)
-        except KeyboardInterrupt:
+        except BaseException as e:
+            # same crash containment as the main fit path
             if self._ckpt is not None:
-                _logger.log(PRINT, 'interrupted — saving last checkpoint')
-                self._ckpt.save(self.current_epoch + 1,
-                                self._gan_eval_view(model, gstate), {})
+                _logger.log(PRINT, '%s during fit — saving last checkpoint',
+                            type(e).__name__)
+                try:
+                    self._ckpt.save(self.current_epoch + 1,
+                                    self._gan_eval_view(model, gstate), {})
+                except Exception:
+                    _logger.exception('failed to save crash checkpoint')
+            if not isinstance(e, KeyboardInterrupt):
+                _logger.exception('fit crashed')
             raise
         finally:
             if self._ckpt is not None:
                 self._ckpt.close()
+            self._record_run_artifacts()
         return self._gan_eval_view(model, gstate)
 
     # ----------------------------------------------------------- validation
+
+    def _warn_missing_pretrained(self, composite) -> None:
+        """LOUD banner when a perceptual loss was selected but its converted
+        pretrained weights are absent: training proceeds on deterministic
+        random features, which optimizes a DIFFERENT objective than the
+        reference's torchvision/piq-weighted one (losses/losses.py:120-208).
+        """
+        missing = [s.name for s in composite.sub_losses
+                   if getattr(s.fn, 'pretrained', True) is False]
+        if not missing:
+            return
+        _logger.log(
+            PRINT,
+            '=' * 66 + '\nWARNING: perceptual loss(es) %s selected WITHOUT '
+            'converted pretrained weights — running on deterministic '
+            'random-init features. Scores/gradients will not match the '
+            'reference. Convert weights with tools/convert_torch_weights.py '
+            'into $SRTPU_WEIGHTS_DIR.\n' + '=' * 66, ', '.join(missing))
+
+    def _make_eval_step(self, metrics):
+        """Single-device eval step, or the row-sharded parallel one when a
+        mesh is configured (the product path for trainer.devices /
+        spatial_devices — full-res images split across the mesh; reference
+        behavior: DDP uniform across fit/validate/predict, all.yml:125)."""
+        if self.mesh is not None:
+            from srtpu.parallel import make_parallel_eval_step
+            return make_parallel_eval_step(metrics, self.mesh)
+        return make_eval_step(metrics)
+
+    def _put_eval_batch(self, *arrays):
+        if self.mesh is not None:
+            from srtpu.parallel import shard_eval_batch
+            return shard_eval_batch(self.mesh,
+                                    *(np.asarray(a) for a in arrays))
+        out = tuple(jnp.asarray(a) for a in arrays)
+        return out if len(out) > 1 else out[0]
 
     def _run_validation(self, state, eval_step, datamodule, limit=None,
                         sanity=False) -> dict[str, float]:
@@ -432,9 +518,8 @@ class Trainer:
             for i, batch in enumerate(loader):
                 if limit is not None and i >= limit:
                     break
-                sr, results = eval_step(state, jnp.asarray(batch.lr),
-                                        jnp.asarray(batch.hr),
-                                        jnp.asarray(batch.mask))
+                sr, results = eval_step(state, *self._put_eval_batch(
+                    batch.lr, batch.hr, batch.mask))
                 results = {k: float(v) for k, v in results.items()}
                 for k, v in results.items():
                     per_metric.setdefault(k, []).append(v)
@@ -514,7 +599,13 @@ class Trainer:
 
     def predict(self, state: TrainState, datamodule) -> None:
         datamodule.setup('predict')
-        predict_step = make_predict_step()
+        if self.mesh is not None:
+            from srtpu.parallel import (make_parallel_predict_step,
+                                        replicate_state)
+            state = replicate_state(self.mesh, state)
+            predict_step = make_parallel_predict_step(self.mesh)
+        else:
+            predict_step = make_predict_step()
         tile = self.cfg.predict_tile
         overlap = self.cfg.predict_tile_overlap
         scale = datamodule._scale
@@ -529,12 +620,14 @@ class Trainer:
                     # per tile shape, bounded memory — srtpu.train.tiled)
                     from .tiled import tiled_predict
                     sr_np = tiled_predict(
-                        lambda t: predict_step(state, jnp.asarray(t)),
+                        lambda t: predict_step(
+                            state, self._put_eval_batch(t)),
                         lr_np[0, :hs // scale, :ws // scale], scale,
                         tile=tile, overlap=overlap)
                     sr_np = sr_np[:hs, :ws]
                 else:
-                    sr = predict_step(state, jnp.asarray(batch.lr))
+                    sr = predict_step(state,
+                                      self._put_eval_batch(batch.lr))
                     sr_np = np.asarray(sr)[0, :hs, :ws]
                 name = batch.names[0]
                 save_image(sr_np, self.root / ds_name / f'{name}.png')
@@ -549,7 +642,10 @@ class Trainer:
     def validate(self, state: TrainState, datamodule,
                  metrics: tuple[str, ...] | None = None) -> dict[str, float]:
         datamodule.setup('validate')
-        eval_step = make_eval_step(
+        if self.mesh is not None:
+            from srtpu.parallel import replicate_state
+            state = replicate_state(self.mesh, state)
+        eval_step = self._make_eval_step(
             build_metrics(list(metrics or self.cfg.metrics)))
         self._edge_ops = []
         self._saved_hr_versions = set()

@@ -174,6 +174,46 @@ def test_cli_fit_with_mesh(tiny_dataset, tmp_path):
     assert (root / 'checkpoints' / 'last').exists()
 
 
+def test_cli_mesh_fit_validate_predict_roundtrip(tiny_dataset, tmp_path):
+    """fit + validate + predict all run on a (data=4, spatial=2) mesh via
+    the CLI — no code path evals on one device when a mesh is requested
+    (reference: DDP uniform across fit/validate/predict, all.yml:125)."""
+    from srtpu.cli import cli_main
+
+    root = tmp_path / 'mesh_rt'
+    rc = cli_main([
+        'fit',
+        f'data.datasets_dir={tiny_dataset}',
+        'data.train_datasets=[Tr]', 'data.eval_datasets=[Va]',
+        'data.batch_size=4', 'data.patch_size=16', 'data.scale_factor=2',
+        'data.eval_bucket=16',
+        'model.class_path=SRCNN', 'model.init_args.metrics=[PSNR]',
+        'trainer.max_epochs=1', 'trainer.check_val_every_n_epoch=1',
+        'trainer.num_sanity_val_steps=0', 'trainer.precision=32',
+        'trainer.devices=8', 'trainer.spatial_devices=2',
+        f'trainer.default_root_dir={root}', 'trainer.monitor=Va/PSNR',
+    ])
+    assert rc == 0
+
+    rc = cli_main([
+        'validate', '--checkpoint', str(root / 'checkpoints'),
+        f'trainer.default_root_dir={tmp_path / "mval"}',
+        'model.init_args.metrics=[PSNR]',
+        'trainer.devices=8', 'trainer.spatial_devices=2',
+    ])
+    assert rc == 0
+
+    rc = cli_main([
+        'predict', '--checkpoint', str(root / 'checkpoints'),
+        f'data.datasets_dir={tiny_dataset}',
+        'data.predict_datasets=[Demo]',
+        f'trainer.default_root_dir={tmp_path / "mpred"}',
+        'trainer.devices=8', 'trainer.spatial_devices=2',
+    ])
+    assert rc == 0
+    assert len(list((tmp_path / 'mpred' / 'Demo').glob('*.png'))) == 2
+
+
 def test_cli_mesh_batch_divisibility_error(tiny_dataset, tmp_path):
     from srtpu.cli import cli_main
     import pytest as _pytest

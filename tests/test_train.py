@@ -293,3 +293,145 @@ def test_steps_per_execution_matches_single(tiny_dataset, tmp_path):
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-7)
+
+
+def test_grad_accumulation_matches_large_batch(tiny_dataset):
+    """k accumulation steps of batch B take ONE optimizer step equal (to
+    float tolerance) to a single step on the k*B batch — optax.MultiSteps
+    averages micro-batch grads (reference accumulate_grad_batches,
+    all.yml:65)."""
+    import optax
+    from srtpu.losses import parse_losses
+    from srtpu.train.steps import dealias_state, make_train_step
+    k = 4
+    rng = np.random.default_rng(0)
+    lr_big = rng.random((8, 8, 8, 3)).astype(np.float32)
+    hr_big = rng.random((8, 16, 16, 3)).astype(np.float32)
+
+    model = create_model('SRCNN', scale_factor=2)
+    composite = parse_losses('l1')
+    init_rng = jax.random.PRNGKey(0)
+
+    # one step on the full batch
+    tx_full = build_optimizer('SGD', ['lr=0.1'])
+    s_full = dealias_state(create_train_state(
+        model, tx_full, init_rng, jnp.asarray(lr_big), composite))
+    step_full = make_train_step(composite)
+    s_full, _ = step_full(s_full, jnp.asarray(lr_big), jnp.asarray(hr_big))
+
+    # k accumulation micro-steps of batch 2
+    tx_acc = optax.MultiSteps(build_optimizer('SGD', ['lr=0.1']), k)
+    s_acc = dealias_state(create_train_state(
+        model, tx_acc, init_rng, jnp.asarray(lr_big[:2]), composite))
+    step_acc = make_train_step(composite)
+    for i in range(k):
+        s_acc, _ = step_acc(s_acc, jnp.asarray(lr_big[2 * i:2 * i + 2]),
+                            jnp.asarray(hr_big[2 * i:2 * i + 2]))
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_acc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_fit_with_accumulate_grad_batches(tiny_dataset, tmp_path):
+    """Trainer honors accumulate_grad_batches end to end (the knob was
+    previously wired but untested)."""
+    dm = SRData(batch_size=2, datasets_dir=tiny_dataset, patch_size=16,
+                scale_factor=2, train_datasets=['TinyTrain'],
+                eval_datasets=[])
+    model = create_model('SRCNN', scale_factor=2)
+    cfg = TrainerConfig(max_epochs=2, accumulate_grad_batches=2,
+                        default_root_dir=str(tmp_path / 'acc'),
+                        enable_checkpointing=False, num_sanity_val_steps=0,
+                        log_weights_every_n_epochs=0)
+    before_state = Trainer(cfg).fit(model, dm, losses='l1',
+                                    optimizer_params=['lr=1e-3'])
+    # 8 imgs / batch 2 = 4 micro-steps/epoch, 2 epochs
+    assert int(before_state.step) == 8
+
+
+def test_overfit_batches_repeats_same_batch(tiny_dataset, tmp_path):
+    """overfit_batches=1 trains on the SAME batch every epoch (sampler
+    epoch pinned) and drives its loss far down (reference all.yml:87)."""
+    from srtpu.losses import parse_losses
+    dm = SRData(batch_size=4, datasets_dir=tiny_dataset, patch_size=16,
+                scale_factor=2, train_datasets=['TinyTrain'],
+                eval_datasets=[])
+    model = create_model('EDSR', scale_factor=2, n_feats=16, n_resblocks=2)
+    cfg = TrainerConfig(max_epochs=60, overfit_batches=1,
+                        default_root_dir=str(tmp_path / 'ov'),
+                        enable_checkpointing=False, num_sanity_val_steps=0,
+                        enable_progress_log=False,
+                        log_weights_every_n_epochs=0)
+    state = Trainer(cfg).fit(model, dm, losses='l1',
+                             optimizer_params=['lr=2e-3'])
+    assert int(state.step) == 60  # exactly 1 batch per epoch
+
+    # the pinned batch is memorized: its loss is far below a fresh batch's
+    from srtpu.train.steps import make_train_step
+    dm.setup('fit')
+    loader = dm.train_loader()
+    loader.set_epoch(0)
+    batch0 = next(iter(loader))
+    step = make_train_step(parse_losses('l1'), donate=False)
+    _, logs = step(state, jnp.asarray(batch0.lr), jnp.asarray(batch0.hr))
+    assert float(logs['loss']) < 0.05, float(logs['loss'])
+
+
+def test_crash_containment_saves_artifacts(tiny_dataset, tmp_path,
+                                           monkeypatch):
+    """A mid-fit exception still persists a resumable 'last' checkpoint and
+    the JSONL metrics export survives (reference wraps fit and uploads
+    artifacts on crash, train.py:240-257)."""
+    import srtpu.train.loop as loop_mod
+
+    calls = {'n': 0}
+    real = loop_mod.make_train_step
+
+    def exploding(composite, **kw):
+        step = real(composite, **kw)
+
+        def wrapped(state, lr, hr):
+            calls['n'] += 1
+            if calls['n'] >= 3:
+                raise RuntimeError('synthetic mid-fit failure')
+            return step(state, lr, hr)
+        return wrapped
+
+    monkeypatch.setattr(loop_mod, 'make_train_step', exploding)
+
+    dm = SRData(batch_size=4, datasets_dir=tiny_dataset, patch_size=16,
+                scale_factor=2, train_datasets=['TinyTrain'],
+                eval_datasets=['TinySet5'], eval_bucket=16)
+    model = create_model('SRCNN', scale_factor=2)
+    root = tmp_path / 'crash_run'
+    cfg = TrainerConfig(max_epochs=5, check_val_every_n_epoch=1,
+                        default_root_dir=str(root), metrics=('PSNR',),
+                        monitor='TinySet5/PSNR', num_sanity_val_steps=0,
+                        enable_progress_log=False,
+                        log_weights_every_n_epochs=0)
+    with pytest.raises(RuntimeError, match='synthetic mid-fit failure'):
+        Trainer(cfg).fit(model, dm, losses='l1',
+                         hparams={'model': 'SRCNN'})
+
+    # crash checkpoint is resumable
+    assert (root / 'checkpoints' / 'last').exists()
+    from srtpu.checkpoint import CheckpointManager
+    from srtpu.losses import parse_losses
+    state = create_train_state(model, build_optimizer('ADAM', []),
+                               jax.random.PRNGKey(0),
+                               jnp.zeros((1, 8, 8, 3)), parse_losses('l1'))
+    mngr = CheckpointManager(root / 'checkpoints', monitor='')
+    restored = mngr.restore_last(state)
+    mngr.close()
+    assert int(restored.step) == 2  # crashed on the 3rd step
+
+    # tracker exports survived: metrics.jsonl has epoch-1 val scalars,
+    # params.json has the hparams, assets.json lists the bundle
+    lines = [json.loads(x) for x in
+             (root / 'metrics.jsonl').read_text().splitlines()]
+    assert any('TinySet5/PSNR' in rec for rec in lines)
+    assert json.loads((root / 'params.json').read_text())['model'] == 'SRCNN'
+    assets = json.loads((root / 'assets.json').read_text())
+    assert any('checkpoints' in a for a in assets)
