@@ -41,8 +41,11 @@ def build():
     from srtpu.optim import build_optimizer
     from srtpu.train import create_train_state, make_train_step
 
+    # use_pallas='cs': transposed channel-sublane trunk kernels — the
+    # round-2 layout win (66% vs 36% conv MFU at C=64; PERF.md)
     model = create_model('EDSR', scale_factor=SCALE, n_feats=64,
-                         n_resblocks=16, dtype=jnp.bfloat16)
+                         n_resblocks=16, dtype=jnp.bfloat16,
+                         use_pallas='cs')
     composite = parse_losses('l1')
     tx = build_optimizer('ADAM', ['lr=1e-4'])
 

@@ -122,9 +122,20 @@ class SRData:
                 for n in self._eval_names]
         if stage in (None, 'predict'):
             self._predict_sources = [
-                ImageFolderSource(lr_dir=self._datasets_dir / n,
+                ImageFolderSource(lr_dir=self._predict_dir(n),
                                   scale_factor=self._scale, mode='predict')
                 for n in self._predict_names]
+
+    def _predict_dir(self, name: str):
+        """LR input dir for a predict dataset: a flat folder of images
+        (reference predict.py semantics), or the eval-style
+        ``<name>/LR/X{scale}`` / ``<name>/LR`` sub-layout when present."""
+        base = self._datasets_dir / name
+        for sub in (base / 'LR' / f'X{self._scale}', base / 'LR',
+                    base / 'HR'):
+            if sub.is_dir():
+                return sub
+        return base
 
     # -- loaders --------------------------------------------------------------
 

@@ -106,6 +106,11 @@ class ImageFolderSource(_CachedSource):
 
         self._hr_files = list_dir(hr_dir)
         self._lr_files = list_dir(lr_dir)
+        if mode == 'predict' and not self._lr_files:
+            # a silent zero-image predict looks like success — fail loudly
+            raise FileNotFoundError(
+                f'predict dataset has no images in {lr_dir} '
+                f'(extensions: {sorted(extensions)})')
         if self._hr_files is not None and self._lr_files is not None:
             assert len(self._hr_files) == len(self._lr_files), \
                 f'LR/HR count mismatch: {len(self._lr_files)} vs ' \

@@ -332,6 +332,66 @@ class FusedResBlock(nn.Module):
         return resblock_reference(*args, res_scale=self.res_scale)
 
 
+class CSTrunk(nn.Module):
+    """EDSR trunk (resblocks + close conv + global skip) in CS layout.
+
+    Runs the whole 64-channel hot loop in the transposed channel-sublane
+    layout (srtpu.ops.cs_conv): one NHWC->CS conversion on entry, fused
+    Pallas resblocks with Pallas backwards, one conversion back on exit.
+    Measured 66% vs 36% MFU against XLA convs at EDSR-baseline shapes
+    (PERF.md round 2). Falls back to XLA convs (same params) for shapes
+    the packing doesn't support (large eval images).
+
+    Same math as [ResBlock x n + Conv2d + skip] — reference
+    models/edsr.py:26-33.
+    """
+
+    n_feats: int = 64
+    n_resblocks: int = 16
+    res_scale: float = 1.0
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from srtpu.ops.cs_conv import (conv3x3_cs, conv3x3_reference,
+                                       cs_plan, cs_to_nhwc, nhwc_to_cs,
+                                       resblock_cs)
+        from srtpu.ops.resblock import resblock_reference
+        n = self.n_feats
+        bound = 1.0 / math.sqrt(9 * n)
+        blocks = []
+        for i in range(self.n_resblocks):
+            blocks.append(tuple(
+                self.param(f'block{i}_{p}', torch_uniform_init(bound), shp)
+                for p, shp in (('kernel1', (3, 3, n, n)), ('bias1', (n,)),
+                               ('kernel2', (3, 3, n, n)), ('bias2', (n,)))))
+        wc = self.param('close_kernel', torch_uniform_init(bound),
+                        (3, 3, n, n))
+        bc = self.param('close_bias', torch_uniform_init(bound), (n,))
+
+        dtype = self.dtype or x.dtype
+        xd = x.astype(dtype)
+        plan = cs_plan(x.shape)
+        if plan is None:
+            res = xd
+            for w1, b1, w2, b2 in blocks:
+                res = resblock_reference(
+                    res, w1.astype(dtype), b1.astype(jnp.float32),
+                    w2.astype(dtype), b2.astype(jnp.float32),
+                    res_scale=self.res_scale)
+            res = conv3x3_reference(res, wc.astype(dtype), bc)
+            return res + xd
+
+        k, _ = plan
+        w_img = x.shape[2]
+        res = xc = nhwc_to_cs(xd, k)
+        for w1, b1, w2, b2 in blocks:
+            res = resblock_cs(res, w1, b1, w2, b2, self.res_scale,
+                              w_img, k)
+        res = conv3x3_cs(res, wc, bc, w_img, k) + xc
+        return cs_to_nhwc(res, k, x.shape[1], w_img)
+
+
 class UpscaleBlock(nn.Module):
     """Sub-pixel upscaling for scale factors {2, 3, 4, 8}.
 

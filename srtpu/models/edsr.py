@@ -12,7 +12,7 @@ from typing import Any
 
 from flax import linen as nn
 
-from .common import (Conv2d, FusedResBlock, ResBlock, UpscaleBlock,
+from .common import (Conv2d, CSTrunk, FusedResBlock, ResBlock, UpscaleBlock,
                      mean_shift)
 
 
@@ -22,7 +22,9 @@ class EDSR(nn.Module):
     n_feats: int = 64
     n_resblocks: int = 16
     res_scale: float = 1.0
-    use_pallas: bool = False   # fused Pallas resblocks (opt-in; see srtpu/ops)
+    # False: XLA convs; True: fused NHWC Pallas resblocks; 'cs': the
+    # transposed channel-sublane trunk (fastest at C=64; see srtpu/ops)
+    use_pallas: bool | str = False
     dtype: Any = None
 
     @nn.compact
@@ -32,18 +34,23 @@ class EDSR(nn.Module):
 
         x = Conv2d(self.n_feats, 3, dtype=self.dtype)(x)
 
-        res = x
-        for _ in range(self.n_resblocks):
-            if self.use_pallas:
-                res = FusedResBlock(n_feats=self.n_feats,
-                                    res_scale=self.res_scale,
-                                    dtype=self.dtype)(res)
-            else:
-                res = ResBlock(n_feats=self.n_feats, kernel_size=3,
-                               res_scale=self.res_scale,
-                               dtype=self.dtype)(res)
-        res = Conv2d(self.n_feats, 3, dtype=self.dtype)(res)
-        x = res + x
+        if self.use_pallas == 'cs':
+            x = CSTrunk(n_feats=self.n_feats,
+                        n_resblocks=self.n_resblocks,
+                        res_scale=self.res_scale, dtype=self.dtype)(x)
+        else:
+            res = x
+            for _ in range(self.n_resblocks):
+                if self.use_pallas:
+                    res = FusedResBlock(n_feats=self.n_feats,
+                                        res_scale=self.res_scale,
+                                        dtype=self.dtype)(res)
+                else:
+                    res = ResBlock(n_feats=self.n_feats, kernel_size=3,
+                                   res_scale=self.res_scale,
+                                   dtype=self.dtype)(res)
+            res = Conv2d(self.n_feats, 3, dtype=self.dtype)(res)
+            x = res + x
 
         x = UpscaleBlock(self.scale_factor, self.n_feats,
                          dtype=self.dtype)(x)

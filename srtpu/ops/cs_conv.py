@@ -1,0 +1,440 @@
+"""CS-layout ("channel-sublane") 3x3 convolutions: the round-2 TPU kernel.
+
+Why: XLA's NHWC conv at C=64 puts c_out on the MXU's 128 lanes, idling half
+of them (measured 36% MFU on v5e at EDSR-baseline shapes). This kernel
+transposes the problem: SPATIAL positions go on the lanes and channels ride
+the sublane/M dims, so the matmul is
+
+    P[(dy, c_out), s] = W2[(dy, c_out), (dx, c_in)] @ X3[(dx, c_in), s]
+
+with X3 three lane-rolled (dx-shifted) copies of the activation and a
+cheap epilogue summing the three dy partial rows after a lane roll of
++/- one image row. Shapes at C=64: (192, 192) @ (192, S~4096) — K util
+75%, N util ~100%, M=192 streams well. Measured head-to-head on the chip:
+9.2us vs XLA's 16.9us per batch-16 conv (66% vs 36% MFU), exact parity.
+
+Layout: batch B is split into G groups of k images packed side-by-side on
+the lane axis:  x_cs[g, c, y*W*k + j*W + w] = x[g*k + j, y, w, c].
+All shifts become lane rolls (dy: roll by W*k, dx: roll by 1) with
+validity masks at image seams — zero padding == masked roll. Works for
+any W; k targets S = H*W*k ~ 4096 lanes.
+
+The fused resblock runs conv1+bias+ReLU+conv2+bias+res_scale+skip in one
+VMEM residency and emits the post-ReLU h1 for a recompute-free Pallas
+backward (dx via transposed-kernel convs in the same layout; dW via
+lane-contraction matmuls (c, S) @ (S, 3C) at K=S full tiles).
+
+Reference parity: EDSR resblock semantics, reference models/common.py:74-109
+and models/edsr.py:26-29; this file is a TPU-native re-design, not a port.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ---------------------------------------------------------------------------
+# layout helpers
+# ---------------------------------------------------------------------------
+
+S_TARGET = 4096          # lanes per group the kernels are tuned for
+S_MAX = 8320             # VMEM ceiling for the fused resblock at C=64
+
+
+def cs_plan(shape: tuple[int, ...]) -> tuple[int, int] | None:
+    """(k, G) packing for (B, H, W, C), or None when unsupported.
+
+    k = images per lane-row, G = B // k kernel groups. Requires B % k == 0
+    and the per-group working set to fit VMEM (S = H*W*k <= S_MAX).
+    """
+    b, h, w, c = shape
+    if c % 16 or h < 2 or w < 2:
+        return None
+    k = max(1, S_TARGET // (h * w))
+    k = min(k, b)
+    while k > 1 and b % k:
+        k -= 1
+    if b % k or h * w * k > S_MAX:
+        return None
+    return k, b // k
+
+
+def nhwc_to_cs(x: jax.Array, k: int) -> jax.Array:
+    """(B, H, W, C) -> (G, C, H*W*k) with k images per lane-row."""
+    b, h, w, c = x.shape
+    g = b // k
+    return x.reshape(g, k, h, w, c).transpose(0, 4, 2, 1, 3) \
+        .reshape(g, c, h * k * w)
+
+
+def cs_to_nhwc(x_cs: jax.Array, k: int, h: int, w: int) -> jax.Array:
+    """(G, C, H*W*k) -> (B, H, W, C)."""
+    g, c, _ = x_cs.shape
+    return x_cs.reshape(g, c, h, k, w).transpose(0, 3, 2, 4, 1) \
+        .reshape(g * k, h, w, c)
+
+
+def w_cs(w: jax.Array) -> jax.Array:
+    """HWIO (3, 3, C, C') -> (3*C', 3*C): rows (dy, c_out), cols (dx, c_in)."""
+    c_in, c_out = w.shape[2], w.shape[3]
+    return jnp.transpose(w, (0, 3, 1, 2)).reshape(3 * c_out, 3 * c_in)
+
+
+def w_cs_T(w: jax.Array) -> jax.Array:
+    """CS arrangement of the VJP (transposed) kernel: flip taps, swap IO."""
+    return w_cs(jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2)))
+
+
+def dw_from_cs(dwt: jax.Array) -> jax.Array:
+    """(3, C_out, 3*C_in) [dy, c_out, (dx, c_in)] -> HWIO (3, 3, C_in, C_out)."""
+    three, c_out, k3 = dwt.shape
+    c_in = k3 // 3
+    return dwt.reshape(3, c_out, 3, c_in).transpose(0, 2, 3, 1)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel building blocks
+# ---------------------------------------------------------------------------
+
+
+def _seam_masks(s: int, w: int):
+    """Lane-validity masks for dx = +1 / -1 rolls (image seams + array ends)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    return lane % w != w - 1, lane % w != 0    # m_xp (reads w+1), m_xm
+
+
+def _row_masks(s: int, wk: int):
+    """Masks for dy = +1 / -1 rolls (first/last image row)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    return lane < s - wk, lane >= wk           # m_yp (reads y+1), m_ym
+
+
+def _build_x3(x, x3_ref, s, w):
+    """Write [roll(+1) | x | roll(-1)] dx-shifted stack into x3_ref.
+
+    Mosaic's dynamic_rotate needs 32-bit data, so rolls run on an f32 view
+    and results are cast back to the compute dtype at write time.
+    """
+    c = x.shape[0]
+    xf = x.astype(jnp.float32)
+    m_xp, m_xm = _seam_masks(s, w)
+    x3_ref[0:c] = jnp.where(m_xm, pltpu.roll(xf, 1, 1), 0).astype(x.dtype)
+    x3_ref[c:2 * c] = x
+    x3_ref[2 * c:3 * c] = jnp.where(
+        m_xp, pltpu.roll(xf, s - 1, 1), 0).astype(x.dtype)
+
+
+def _dy_reduce(p, s, wk):
+    """Sum the three dy partial-row blocks of P [(dy, c_out), s] -> (c, s)."""
+    c = p.shape[0] // 3
+    m_yp, m_ym = _row_masks(s, wk)
+    return (jnp.where(m_ym, pltpu.roll(p[0:c], wk, 1), 0)
+            + p[c:2 * c]
+            + jnp.where(m_yp, pltpu.roll(p[2 * c:3 * c], s - wk, 1), 0))
+
+
+def _gs_roll(gf, dy, s, wk):
+    """g rolled so that position s' holds g[s' - (dy-1)*wk], zero masked.
+
+    Used by the dW lane-contraction: dW[dy] = sum_s shifted(act) * g, which
+    equals act @ roll(g, +(dy-1)*wk) with the out-of-image rows zeroed.
+    """
+    if dy == 1:
+        return gf
+    m_yp, m_ym = _row_masks(s, wk)
+    if dy == 0:
+        return jnp.where(m_yp, pltpu.roll(gf, s - wk, 1), 0)
+    return jnp.where(m_ym, pltpu.roll(gf, wk, 1), 0)
+
+
+# ---------------------------------------------------------------------------
+# single 3x3 conv (trunk-close conv and friends)
+# ---------------------------------------------------------------------------
+
+
+def _conv_fwd_kernel(x_ref, w_ref, b_ref, out_ref, x3_ref, *, w_img, wk):
+    x = x_ref[0]
+    c, s = x.shape
+    _build_x3(x, x3_ref, s, w_img)
+    p = jnp.dot(w_ref[...], x3_ref[...], preferred_element_type=jnp.float32)
+    out_ref[0] = (_dy_reduce(p, s, wk) + b_ref[...]).astype(out_ref.dtype)
+
+
+def _conv_bwd_kernel(x_ref, g_ref, wt_ref, dx_ref, dwt_ref, db_ref,
+                     x3_ref, g3_ref, *, w_img, wk):
+    gid = pl.program_id(0)
+    x = x_ref[0]
+    g = g_ref[0]
+    c, s = x.shape
+
+    # dx = convT(g)
+    _build_x3(g, g3_ref, s, w_img)
+    p = jnp.dot(wt_ref[...], g3_ref[...], preferred_element_type=jnp.float32)
+    dx_ref[0] = _dy_reduce(p, s, wk).astype(dx_ref.dtype)
+
+    # dW[dy, c_out, (dx, c_in)] = roll(g, dy) @ X3^T   (K = S, full lanes)
+    _build_x3(x, x3_ref, s, w_img)
+    gf = g.astype(jnp.float32)
+
+    @pl.when(gid == 0)
+    def _():
+        dwt_ref[...] = jnp.zeros_like(dwt_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    x3 = x3_ref[...]
+    for dy in range(3):
+        gr = _gs_roll(gf, dy, s, wk).astype(x.dtype)
+        dwt_ref[dy] += jax.lax.dot_general(
+            gr, x3, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    db_ref[...] += jnp.sum(gf, axis=1, keepdims=True)
+
+
+def _specs(g, c, s, extra_full=2):
+    blk = pl.BlockSpec((1, c, s), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return blk, [blk] + [full] * extra_full
+
+
+def _interpret(flag):
+    return jax.default_backend() != 'tpu' if flag is None else flag
+
+
+def conv3x3_cs_fwd(x_cs, w2, b, w_img, k, interpret=None):
+    """x_cs (G, C, S) bf16/f32; w2 (3C', 3C) CS-arranged; b (C', 1)."""
+    g, c, s = x_cs.shape
+    c_out = w2.shape[0] // 3
+    blk = pl.BlockSpec((1, c, s), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    oblk = pl.BlockSpec((1, c_out, s), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_conv_fwd_kernel, w_img=w_img, wk=w_img * k),
+        grid=(g,),
+        in_specs=[blk, full, full],
+        out_specs=oblk,
+        out_shape=jax.ShapeDtypeStruct((g, c_out, s), x_cs.dtype),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * c_out * 3 * c * s * g,
+            bytes_accessed=(c + c_out) * s * g * 2, transcendentals=0),
+    )(x_cs, w2, b)
+
+
+def conv3x3_cs_bwd(x_cs, g_cs, wt, w_img, k, interpret=None):
+    g, c, s = x_cs.shape
+    blk = pl.BlockSpec((1, c, s), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    acc_w = pl.BlockSpec((3, c, 3 * c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_b = pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_conv_bwd_kernel, w_img=w_img, wk=w_img * k),
+        grid=(g,),
+        in_specs=[blk, blk, full],
+        out_specs=(blk, acc_w, acc_b),
+        out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
+                   jax.ShapeDtypeStruct((3, c, 3 * c), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)] * 2,
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 9 * c * c * s * g,
+            bytes_accessed=3 * c * s * g * 2, transcendentals=0),
+    )(x_cs, g_cs, wt)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_cs(x_cs, w, b, w_img, k):
+    """Differentiable CS-layout 3x3 SAME conv. w: HWIO (3,3,C,C'); b: (C',)."""
+    out = conv3x3_cs_fwd(x_cs, w_cs(w).astype(x_cs.dtype),
+                         b.astype(jnp.float32)[:, None], w_img, k)
+    return out
+
+
+def _conv_cs_vjp_fwd(x_cs, w, b, w_img, k):
+    return conv3x3_cs(x_cs, w, b, w_img, k), (x_cs, w)
+
+
+def _conv_cs_vjp_bwd(w_img, k, res, g):
+    x_cs, w = res
+    wt = w_cs_T(w).astype(x_cs.dtype)
+    dx, dwt, db = conv3x3_cs_bwd(x_cs, g, wt, w_img, k)
+    return dx, dw_from_cs(dwt).astype(w.dtype), db[:, 0]
+
+
+conv3x3_cs.defvjp(_conv_cs_vjp_fwd, _conv_cs_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused resblock: conv1 + b1 + ReLU + conv2 + b2, * res_scale + skip
+# ---------------------------------------------------------------------------
+
+
+def _rb_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, scale_ref,
+                   out_ref, h1_ref, x3_ref, *, w_img, wk):
+    x = x_ref[0]
+    c, s = x.shape
+    _build_x3(x, x3_ref, s, w_img)
+    p = jnp.dot(w1_ref[...], x3_ref[...], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(_dy_reduce(p, s, wk) + b1_ref[...], 0.0).astype(x.dtype)
+    h1_ref[0] = h1
+    _build_x3(h1, x3_ref, s, w_img)
+    p = jnp.dot(w2_ref[...], x3_ref[...], preferred_element_type=jnp.float32)
+    h2 = _dy_reduce(p, s, wk) + b2_ref[...]
+    out_ref[0] = (h2 * scale_ref[0, 0] + x.astype(jnp.float32)) \
+        .astype(out_ref.dtype)
+
+
+def _rb_bwd_kernel(x_ref, h1_ref, g_ref, w1t_ref, w2t_ref, scale_ref,
+                   dx_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+                   s3_ref, *, w_img, wk):
+    gid = pl.program_id(0)
+    x = x_ref[0]
+    h1 = h1_ref[0]
+    g = g_ref[0]
+    c, s = x.shape
+    gs = (g.astype(jnp.float32) * scale_ref[0, 0]).astype(x.dtype)
+
+    @pl.when(gid == 0)
+    def _():
+        dw1t_ref[...] = jnp.zeros_like(dw1t_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2t_ref[...] = jnp.zeros_like(dw2t_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    # dh1 = convT(gs, w2) * relu'(h1)
+    _build_x3(gs, s3_ref, s, w_img)
+    p = jnp.dot(w2t_ref[...], s3_ref[...], preferred_element_type=jnp.float32)
+    # bf16 compares are unsupported on some targets — mask in f32
+    dh1 = jnp.where(h1.astype(jnp.float32) > 0,
+                    _dy_reduce(p, s, wk), 0.0).astype(x.dtype)
+
+    # dx = convT(dh1, w1) + g   (skip branch)
+    _build_x3(dh1, s3_ref, s, w_img)
+    p = jnp.dot(w1t_ref[...], s3_ref[...], preferred_element_type=jnp.float32)
+    dx_ref[0] = (_dy_reduce(p, s, wk)
+                 + g.astype(jnp.float32)).astype(dx_ref.dtype)
+
+    # dW2[dy] = roll(gs, dy) @ H3^T ;  db2 = sum gs
+    _build_x3(h1, s3_ref, s, w_img)
+    h3 = s3_ref[...]
+    gsf = gs.astype(jnp.float32)
+    for dy in range(3):
+        gr = _gs_roll(gsf, dy, s, wk).astype(x.dtype)
+        dw2t_ref[dy] += jax.lax.dot_general(
+            gr, h3, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.sum(gsf, axis=1, keepdims=True)
+
+    # dW1[dy] = roll(dh1, dy) @ X3^T ;  db1 = sum dh1
+    _build_x3(x, s3_ref, s, w_img)
+    x3 = s3_ref[...]
+    dh1f = dh1.astype(jnp.float32)
+    for dy in range(3):
+        dr = _gs_roll(dh1f, dy, s, wk).astype(x.dtype)
+        dw1t_ref[dy] += jax.lax.dot_general(
+            dr, x3, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    db1_ref[...] += jnp.sum(dh1f, axis=1, keepdims=True)
+
+
+def resblock_cs_fwd_h1(x_cs, w1, b1, w2, b2, res_scale, w_img, k,
+                       interpret=None):
+    g, c, s = x_cs.shape
+    blk, _ = _specs(g, c, s)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scale = jnp.asarray([[res_scale]], jnp.float32)
+    return pl.pallas_call(
+        partial(_rb_fwd_kernel, w_img=w_img, wk=w_img * k),
+        grid=(g,),
+        in_specs=[blk, full, full, full, full,
+                  pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=(blk, blk),
+        out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
+                   jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype)),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 9 * c * c * s * g,
+            bytes_accessed=3 * c * s * g * 2, transcendentals=0),
+    )(x_cs, w1, b1, w2, b2, scale)
+
+
+def resblock_cs_bwd(x_cs, h1_cs, g_cs, w1t, w2t, res_scale, w_img, k,
+                    interpret=None):
+    g, c, s = x_cs.shape
+    blk, _ = _specs(g, c, s)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    acc_w = pl.BlockSpec((3, c, 3 * c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_b = pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    scale = jnp.asarray([[res_scale]], jnp.float32)
+    return pl.pallas_call(
+        partial(_rb_bwd_kernel, w_img=w_img, wk=w_img * k),
+        grid=(g,),
+        in_specs=[blk, blk, blk, full, full,
+                  pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=(blk, acc_w, acc_b, acc_w, acc_b),
+        out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
+                   jax.ShapeDtypeStruct((3, c, 3 * c), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((3, c, 3 * c), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * 9 * c * c * s * g,
+            bytes_accessed=5 * c * s * g * 2, transcendentals=0),
+    )(x_cs, h1_cs, g_cs, w1t, w2t, scale)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def resblock_cs(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+    """Fused CS-layout EDSR resblock; w1/w2 HWIO (3,3,C,C), b f32 (C,)."""
+    out, _ = resblock_cs_fwd_h1(
+        x_cs, w_cs(w1).astype(x_cs.dtype), b1.astype(jnp.float32)[:, None],
+        w_cs(w2).astype(x_cs.dtype), b2.astype(jnp.float32)[:, None],
+        res_scale, w_img, k)
+    return out
+
+
+def _rb_cs_vjp_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+    out, h1 = resblock_cs_fwd_h1(
+        x_cs, w_cs(w1).astype(x_cs.dtype), b1.astype(jnp.float32)[:, None],
+        w_cs(w2).astype(x_cs.dtype), b2.astype(jnp.float32)[:, None],
+        res_scale, w_img, k)
+    return out, (x_cs, h1, w1, w2)
+
+
+def _rb_cs_vjp_bwd(res_scale, w_img, k, res, g):
+    x_cs, h1, w1, w2 = res
+    dx, dw1t, db1, dw2t, db2 = resblock_cs_bwd(
+        x_cs, h1, g, w_cs_T(w1).astype(x_cs.dtype),
+        w_cs_T(w2).astype(x_cs.dtype), res_scale, w_img, k)
+    return (dx, dw_from_cs(dw1t).astype(w1.dtype), db1[:, 0],
+            dw_from_cs(dw2t).astype(w2.dtype), db2[:, 0])
+
+
+resblock_cs.defvjp(_rb_cs_vjp_fwd, _rb_cs_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# NHWC reference (numerics check + fallback)
+# ---------------------------------------------------------------------------
+
+
+def conv3x3_reference(x, w, b):
+    dn = ('NHWC', 'HWIO', 'NHWC')
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), (1, 1), 'SAME',
+        dimension_numbers=dn) + b.astype(jnp.float32)
+    return out.astype(x.dtype)

@@ -23,6 +23,7 @@ program per shape bucket; batches stream via the prefetching loader.
 from __future__ import annotations
 
 import logging
+import logging.handlers
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -90,6 +91,14 @@ class Trainer:
         # fan-out tracker: TensorBoard + always-on JSONL export + optional
         # Comet (reference's Comet/TB logger pair, SURVEY.md §5)
         self.tb = MultiTracker(self.root, self.root / 'tensorboard_logs')
+        # programmatic (non-CLI) use: make sure run.log still lands in the
+        # run root — the reference always writes one (train.py:84-143)
+        root_logger = logging.getLogger()
+        if not any(isinstance(h, logging.handlers.RotatingFileHandler)
+                   for h in root_logger.handlers):
+            from srtpu.utils.logging import setup_log
+            setup_log(log_level='warning', file_log_level='info',
+                      log_dir=self.root)
         self.global_step = 0
         self.current_epoch = 0
         self._ckpt: CheckpointManager | None = None

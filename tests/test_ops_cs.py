@@ -1,0 +1,144 @@
+"""CS-layout (channel-sublane) conv kernels: parity + gradients vs XLA.
+
+Runs in Pallas interpret mode on the CPU test backend (tests/conftest.py);
+the same code compiles via Mosaic on TPU. End-to-end TPU numbers: PERF.md
+round 2 (5.25k vs 4.45k patches/s on the EDSR-baseline train step).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srtpu.ops.cs_conv import (conv3x3_cs, conv3x3_reference, cs_plan,
+                               cs_to_nhwc, nhwc_to_cs, resblock_cs)
+
+
+@pytest.fixture(scope='module')
+def data():
+    rng = np.random.default_rng(7)
+    B, H, W, C = 4, 8, 8, 16
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    return x, w1, b1, w2, b2
+
+
+def _rb_ref(x, w1, b1, w2, b2, s=0.7):
+    h1 = jnp.maximum(conv3x3_reference(x, w1, b1), 0)
+    return conv3x3_reference(h1, w2, b2) * s + x
+
+
+def test_layout_roundtrip(data):
+    x = data[0]
+    k, g = cs_plan(x.shape)
+    assert g * k == x.shape[0]
+    x_cs = nhwc_to_cs(x, k)
+    assert x_cs.shape == (g, x.shape[3], x.shape[1] * x.shape[2] * k)
+    np.testing.assert_array_equal(cs_to_nhwc(x_cs, k, 8, 8), x)
+
+
+def test_conv_fwd_parity(data):
+    x, w1, b1, *_ = data
+    k, _ = cs_plan(x.shape)
+    got = cs_to_nhwc(conv3x3_cs(nhwc_to_cs(x, k), w1, b1, 8, k), k, 8, 8)
+    ref = conv3x3_reference(x, w1, b1)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_resblock_fwd_parity(data):
+    x, w1, b1, w2, b2 = data
+    k, _ = cs_plan(x.shape)
+    got = cs_to_nhwc(resblock_cs(nhwc_to_cs(x, k), w1, b1, w2, b2,
+                                 0.7, 8, k), k, 8, 8)
+    np.testing.assert_allclose(got, _rb_ref(x, w1, b1, w2, b2), atol=1e-4)
+
+
+def test_conv_grads_match_xla(data):
+    x, w1, b1, *_ = data
+    k, _ = cs_plan(x.shape)
+    x_cs = nhwc_to_cs(x, k)
+
+    def loss_cs(p):
+        return jnp.sum(jnp.sin(conv3x3_cs(x_cs, p[0], p[1], 8, k)))
+
+    def loss_ref(p):
+        return jnp.sum(jnp.sin(nhwc_to_cs(conv3x3_reference(x, *p), k)))
+
+    g_cs = jax.grad(loss_cs)((w1, b1))
+    g_rf = jax.grad(loss_ref)((w1, b1))
+    for a, b in zip(g_cs, g_rf):
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_resblock_grads_match_xla(data):
+    x, w1, b1, w2, b2 = data
+    k, _ = cs_plan(x.shape)
+    x_cs = nhwc_to_cs(x, k)
+
+    def loss_cs(inp):
+        return jnp.sum(jnp.cos(resblock_cs(inp[0], *inp[1:], 0.7, 8, k)))
+
+    def loss_ref(inp):
+        return jnp.sum(jnp.cos(nhwc_to_cs(_rb_ref(*inp), k)))
+
+    g_cs = jax.grad(loss_cs)((x_cs, w1, b1, w2, b2))
+    g_rf = jax.grad(loss_ref)((x, w1, b1, w2, b2))
+    np.testing.assert_allclose(g_cs[0], nhwc_to_cs(g_rf[0], k), atol=1e-3)
+    for a, b in zip(g_cs[1:], g_rf[1:]):
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_packed_lane_rows(data):
+    """k>1 (several images per lane-row) keeps seam masks correct."""
+    _, w1, b1, w2, b2 = data
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((8, 6, 4, 16)), jnp.float32)
+    k, _ = cs_plan(x.shape)
+    assert k > 1
+    got = cs_to_nhwc(resblock_cs(nhwc_to_cs(x, k), w1, b1, w2, b2,
+                                 1.0, 4, k), k, 6, 4)
+    np.testing.assert_allclose(got, _rb_ref(x, w1, b1, w2, b2, 1.0),
+                               atol=1e-4)
+
+
+def test_cs_plan_fallbacks():
+    assert cs_plan((16, 32, 32, 64)) == (4, 4)       # flagship shape
+    assert cs_plan((1, 200, 200, 64)) is None        # too big for VMEM
+    assert cs_plan((2, 8, 8, 12)) is None            # C % 16 != 0
+    k, g = cs_plan((16, 64, 64, 64))                 # x2 LR patches
+    assert k * g == 16 and k >= 1
+
+
+def test_edsr_cs_matches_default():
+    """EDSR(use_pallas='cs') == EDSR(default) given identical param values."""
+    from srtpu.models import create_model
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32)
+    kw = dict(scale_factor=2, n_feats=16, n_resblocks=2)
+    m_ref = create_model('EDSR', **kw)
+    m_cs = create_model('EDSR', use_pallas='cs', **kw)
+    p_ref = m_ref.init(jax.random.PRNGKey(0), x)
+    p_cs = m_cs.init(jax.random.PRNGKey(0), x)
+
+    # graft the reference param values into the CS tree
+    pr = p_ref['params']
+    pc = jax.tree_util.tree_map(lambda v: v, p_cs)  # copy
+    trunk = pc['params']['CSTrunk_0']
+    for i in range(2):
+        trunk[f'block{i}_kernel1'] = pr[f'ResBlock_{i}']['Conv2d_0']['kernel']
+        trunk[f'block{i}_bias1'] = pr[f'ResBlock_{i}']['Conv2d_0']['bias']
+        trunk[f'block{i}_kernel2'] = pr[f'ResBlock_{i}']['Conv2d_1']['kernel']
+        trunk[f'block{i}_bias2'] = pr[f'ResBlock_{i}']['Conv2d_1']['bias']
+    trunk['close_kernel'] = pr['Conv2d_1']['kernel']
+    trunk['close_bias'] = pr['Conv2d_1']['bias']
+    pc['params']['Conv2d_0'] = pr['Conv2d_0']
+    pc['params']['UpscaleBlock_0'] = pr['UpscaleBlock_0']
+    pc['params']['Conv2d_1'] = pr['Conv2d_2'] if 'Conv2d_2' in pr \
+        else pr['Conv2d_1']
+
+    out_ref = m_ref.apply(p_ref, x)
+    out_cs = m_cs.apply(pc, x)
+    np.testing.assert_allclose(out_cs, out_ref, atol=1e-4)
