@@ -355,16 +355,16 @@ class CSTrunk(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         from srtpu.ops.cs_conv import (conv3x3_cs, conv3x3_reference,
                                        cs_plan, cs_to_nhwc, nhwc_to_cs,
-                                       resblock_cs)
+                                       trunk_cs)
         from srtpu.ops.resblock import resblock_reference
-        n = self.n_feats
+        n, nb = self.n_feats, self.n_resblocks
         bound = 1.0 / math.sqrt(9 * n)
-        blocks = []
-        for i in range(self.n_resblocks):
-            blocks.append(tuple(
-                self.param(f'block{i}_{p}', torch_uniform_init(bound), shp)
-                for p, shp in (('kernel1', (3, 3, n, n)), ('bias1', (n,)),
-                               ('kernel2', (3, 3, n, n)), ('bias2', (n,)))))
+        # stacked block params: one batched CS arrangement per step
+        # (per-block params cost ~0.77 ms/step in small transposes)
+        w1 = self.param('w1', torch_uniform_init(bound), (nb, 3, 3, n, n))
+        b1 = self.param('b1', torch_uniform_init(bound), (nb, n))
+        w2 = self.param('w2', torch_uniform_init(bound), (nb, 3, 3, n, n))
+        b2 = self.param('b2', torch_uniform_init(bound), (nb, n))
         wc = self.param('close_kernel', torch_uniform_init(bound),
                         (3, 3, n, n))
         bc = self.param('close_bias', torch_uniform_init(bound), (n,))
@@ -374,20 +374,18 @@ class CSTrunk(nn.Module):
         plan = cs_plan(x.shape)
         if plan is None:
             res = xd
-            for w1, b1, w2, b2 in blocks:
+            for i in range(nb):
                 res = resblock_reference(
-                    res, w1.astype(dtype), b1.astype(jnp.float32),
-                    w2.astype(dtype), b2.astype(jnp.float32),
+                    res, w1[i].astype(dtype), b1[i].astype(jnp.float32),
+                    w2[i].astype(dtype), b2[i].astype(jnp.float32),
                     res_scale=self.res_scale)
             res = conv3x3_reference(res, wc.astype(dtype), bc)
             return res + xd
 
         k, _ = plan
         w_img = x.shape[2]
-        res = xc = nhwc_to_cs(xd, k)
-        for w1, b1, w2, b2 in blocks:
-            res = resblock_cs(res, w1, b1, w2, b2, self.res_scale,
-                              w_img, k)
+        xc = nhwc_to_cs(xd, k)
+        res = trunk_cs(xc, w1, b1, w2, b2, self.res_scale, w_img, k)
         res = conv3x3_cs(res, wc, bc, w_img, k) + xc
         return cs_to_nhwc(res, k, x.shape[1], w_img)
 

@@ -428,6 +428,213 @@ resblock_cs.defvjp(_rb_cs_vjp_fwd, _rb_cs_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
+# whole-trunk custom VJP (stacked block weights)
+# ---------------------------------------------------------------------------
+#
+# Profiling the per-block custom-VJP trunk showed ~0.77 ms/step of small
+# XLA copies: every resblock re-ran w_cs / w_cs_T / dw_from_cs on its own
+# (3,3,C,C) weights (~6 transposes x 16 blocks x fwd+bwd). The trunk-level
+# VJP below arranges ALL block weights in a handful of batched ops per
+# step and lets each Pallas call DMA its (3C,3C) slice straight from the
+# stacked array via a BlockSpec index_map — no per-block XLA slice/copy
+# ops at all. dW comes back for free: the backward kernel's (3,C,3C)
+# [(dy),(c_out),(dx,c_in)] accumulator reshapes to exactly the (3C,3C)
+# CS arrangement.
+
+
+def w_cs_batch(w: jax.Array) -> jax.Array:
+    """(L, 3, 3, C, C') HWIO stack -> (L, 3C', 3C) CS arrangement."""
+    l, _, _, c_in, c_out = w.shape
+    return jnp.transpose(w, (0, 1, 4, 2, 3)).reshape(l, 3 * c_out, 3 * c_in)
+
+
+def w_cs_T_from_cs(w_csd: jax.Array, c_in: int, c_out: int) -> jax.Array:
+    """(L, 3C', 3C) CS -> CS arrangement of the VJP (transposed) kernel."""
+    l = w_csd.shape[0]
+    v = w_csd.reshape(l, 3, c_out, 3, c_in)[:, ::-1, :, ::-1, :]
+    return jnp.transpose(v, (0, 1, 4, 3, 2)).reshape(l, 3 * c_in, 3 * c_out)
+
+
+def _stk(l: int, shape3):
+    """BlockSpec selecting block ``l`` of a stacked (L, *shape3) array."""
+    return pl.BlockSpec((1, *shape3), lambda g, _l=l: (_l,) + (0,) * len(shape3),
+                        memory_space=pltpu.VMEM)
+
+
+def _rb_fwd_kernel_stk(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, scale_ref,
+                       out_ref, h1_ref, x3_ref, *, w_img, wk):
+    x = x_ref[0]
+    c, s = x.shape
+    _build_x3(x, x3_ref, s, w_img)
+    p = jnp.dot(w1_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(_dy_reduce(p, s, wk) + b1_ref[0], 0.0).astype(x.dtype)
+    h1_ref[0] = h1
+    _build_x3(h1, x3_ref, s, w_img)
+    p = jnp.dot(w2_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
+    h2 = _dy_reduce(p, s, wk) + b2_ref[0]
+    out_ref[0] = (h2 * scale_ref[0, 0] + x.astype(jnp.float32)) \
+        .astype(out_ref.dtype)
+
+
+def _rb_bwd_kernel_stk(x_ref, h1_ref, g_ref, w1t_ref, w2t_ref, scale_ref,
+                       dx_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+                       s3_ref, *, w_img, wk):
+    gid = pl.program_id(0)
+    x = x_ref[0]
+    h1 = h1_ref[0]
+    g = g_ref[0]
+    c, s = x.shape
+    gs = (g.astype(jnp.float32) * scale_ref[0, 0]).astype(x.dtype)
+
+    @pl.when(gid == 0)
+    def _():
+        dw1t_ref[...] = jnp.zeros_like(dw1t_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2t_ref[...] = jnp.zeros_like(dw2t_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    _build_x3(gs, s3_ref, s, w_img)
+    p = jnp.dot(w2t_ref[0], s3_ref[...], preferred_element_type=jnp.float32)
+    dh1 = jnp.where(h1.astype(jnp.float32) > 0,
+                    _dy_reduce(p, s, wk), 0.0).astype(x.dtype)
+
+    _build_x3(dh1, s3_ref, s, w_img)
+    p = jnp.dot(w1t_ref[0], s3_ref[...], preferred_element_type=jnp.float32)
+    dx_ref[0] = (_dy_reduce(p, s, wk)
+                 + g.astype(jnp.float32)).astype(dx_ref.dtype)
+
+    _build_x3(h1, s3_ref, s, w_img)
+    h3 = s3_ref[...]
+    gsf = gs.astype(jnp.float32)
+    for dy in range(3):
+        gr = _gs_roll(gsf, dy, s, wk).astype(x.dtype)
+        dw2t_ref[dy] += jax.lax.dot_general(
+            gr, h3, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.sum(gsf, axis=1, keepdims=True)
+
+    _build_x3(x, s3_ref, s, w_img)
+    x3 = s3_ref[...]
+    dh1f = dh1.astype(jnp.float32)
+    for dy in range(3):
+        dr = _gs_roll(dh1f, dy, s, wk).astype(x.dtype)
+        dw1t_ref[dy] += jax.lax.dot_general(
+            dr, x3, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    db1_ref[...] += jnp.sum(dh1f, axis=1, keepdims=True)
+
+
+def _rb_fwd_call_stk(x_cs, w1s, b1s, w2s, b2s, scale, l, w_img, k,
+                     interpret=None):
+    g, c, s = x_cs.shape
+    blk, _ = _specs(g, c, s)
+    return pl.pallas_call(
+        partial(_rb_fwd_kernel_stk, w_img=w_img, wk=w_img * k),
+        grid=(g,),
+        in_specs=[blk, _stk(l, (3 * c, 3 * c)), _stk(l, (c, 1)),
+                  _stk(l, (3 * c, 3 * c)), _stk(l, (c, 1)),
+                  pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=(blk, blk),
+        out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
+                   jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype)),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 9 * c * c * s * g,
+            bytes_accessed=3 * c * s * g * 2, transcendentals=0),
+    )(x_cs, w1s, b1s, w2s, b2s, scale)
+
+
+def _rb_bwd_call_stk(x_cs, h1_cs, g_cs, w1ts, w2ts, scale, l, w_img, k,
+                     interpret=None):
+    g, c, s = x_cs.shape
+    blk, _ = _specs(g, c, s)
+    acc_w = pl.BlockSpec((3, c, 3 * c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_b = pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_rb_bwd_kernel_stk, w_img=w_img, wk=w_img * k),
+        grid=(g,),
+        in_specs=[blk, blk, blk, _stk(l, (3 * c, 3 * c)),
+                  _stk(l, (3 * c, 3 * c)),
+                  pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=(blk, acc_w, acc_b, acc_w, acc_b),
+        out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
+                   jax.ShapeDtypeStruct((3, c, 3 * c), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((3, c, 3 * c), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * 9 * c * c * s * g,
+            bytes_accessed=5 * c * s * g * 2, transcendentals=0),
+    )(x_cs, h1_cs, g_cs, w1ts, w2ts, scale)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def trunk_cs(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+    """L fused CS resblocks, stacked weights: w1/w2 (L,3,3,C,C), b (L,C).
+
+    One batched weight arrangement per step; each block's Pallas call DMAs
+    its slice via the BlockSpec index map (no per-block XLA copies).
+    """
+    out, *_ = _trunk_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k)
+    return out
+
+
+def _trunk_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+    c = w1.shape[-1]
+    dt = x_cs.dtype
+    w1s = w_cs_batch(w1).astype(dt)
+    w2s = w_cs_batch(w2).astype(dt)
+    b1s = b1.astype(jnp.float32)[..., None]
+    b2s = b2.astype(jnp.float32)[..., None]
+    scale = jnp.asarray([[res_scale]], jnp.float32)
+    xs, h1s = [], []
+    x = x_cs
+    for l in range(w1.shape[0]):
+        xs.append(x)
+        x, h1 = _rb_fwd_call_stk(x, w1s, b1s, w2s, b2s, scale, l, w_img, k)
+        h1s.append(h1)
+    return x, xs, h1s, w1s, w2s
+
+
+def _trunk_vjp_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+    out, xs, h1s, w1s, w2s = _trunk_fwd(x_cs, w1, b1, w2, b2,
+                                        res_scale, w_img, k)
+    return out, (tuple(xs), tuple(h1s), w1s, w2s)
+
+
+def _trunk_vjp_bwd(res_scale, w_img, k, res, g):
+    xs, h1s, w1s, w2s = res
+    l_blocks = len(xs)
+    c = w1s.shape[1] // 3
+    dt = xs[0].dtype
+    w1ts = w_cs_T_from_cs(w1s, c, c).astype(dt)
+    w2ts = w_cs_T_from_cs(w2s, c, c).astype(dt)
+    scale = jnp.asarray([[res_scale]], jnp.float32)
+    dw1, db1, dw2, db2 = [None] * l_blocks, [None] * l_blocks, \
+        [None] * l_blocks, [None] * l_blocks
+    for l in reversed(range(l_blocks)):
+        g, dw1t, db1t, dw2t, db2t = _rb_bwd_call_stk(
+            xs[l], h1s[l], g, w1ts, w2ts, scale, l, w_img, k)
+        # (3, C, 3C) [(dy),(c_out),(dx,c_in)] reshapes to the (3C, 3C)
+        # CS arrangement exactly — free
+        dw1[l], db1[l] = dw1t.reshape(3 * c, 3 * c), db1t[:, 0]
+        dw2[l], db2[l] = dw2t.reshape(3 * c, 3 * c), db2t[:, 0]
+    dw1s = jnp.stack(dw1)
+    dw2s = jnp.stack(dw2)
+    # back to stacked HWIO: inverse of w_cs_batch, one batched op each
+    def un_cs(d):
+        return jnp.transpose(d.reshape(-1, 3, c, 3, c), (0, 1, 3, 4, 2))
+    return (g, un_cs(dw1s), jnp.stack(db1), un_cs(dw2s), jnp.stack(db2))
+
+
+trunk_cs.defvjp(_trunk_vjp_fwd, _trunk_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
 # NHWC reference (numerics check + fallback)
 # ---------------------------------------------------------------------------
 

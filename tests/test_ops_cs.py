@@ -104,6 +104,38 @@ def test_packed_lane_rows(data):
                                atol=1e-4)
 
 
+def test_trunk_cs_matches_blockwise(data):
+    """trunk_cs (stacked weights, trunk-level VJP) == sequential
+    resblock_cs, values and gradients."""
+    from srtpu.ops.cs_conv import trunk_cs
+    x, w1, b1, w2, b2 = data
+    k, _ = cs_plan(x.shape)
+    x_cs = nhwc_to_cs(x, k)
+    rng = np.random.default_rng(5)
+    w1b = jnp.asarray(rng.standard_normal((2, 3, 3, 16, 16)) * 0.1,
+                      jnp.float32)
+    b1b = jnp.asarray(rng.standard_normal((2, 16)) * 0.1, jnp.float32)
+    w2b = jnp.asarray(rng.standard_normal((2, 3, 3, 16, 16)) * 0.1,
+                      jnp.float32)
+    b2b = jnp.asarray(rng.standard_normal((2, 16)) * 0.1, jnp.float32)
+
+    def f_trunk(inp):
+        return jnp.sum(jnp.sin(trunk_cs(inp[0], *inp[1:], 0.7, 8, k)))
+
+    def f_blocks(inp):
+        xc, w1_, b1_, w2_, b2_ = inp
+        for i in range(2):
+            xc = resblock_cs(xc, w1_[i], b1_[i], w2_[i], b2_[i], 0.7, 8, k)
+        return jnp.sum(jnp.sin(xc))
+
+    args = (x_cs, w1b, b1b, w2b, b2b)
+    np.testing.assert_allclose(f_trunk(args), f_blocks(args), rtol=1e-5)
+    g_t = jax.grad(f_trunk)(args)
+    g_b = jax.grad(f_blocks)(args)
+    for a, b in zip(g_t, g_b):
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
 def test_cs_plan_fallbacks():
     assert cs_plan((16, 32, 32, 64)) == (4, 4)       # flagship shape
     assert cs_plan((1, 200, 200, 64)) is None        # too big for VMEM
@@ -127,11 +159,14 @@ def test_edsr_cs_matches_default():
     pr = p_ref['params']
     pc = jax.tree_util.tree_map(lambda v: v, p_cs)  # copy
     trunk = pc['params']['CSTrunk_0']
-    for i in range(2):
-        trunk[f'block{i}_kernel1'] = pr[f'ResBlock_{i}']['Conv2d_0']['kernel']
-        trunk[f'block{i}_bias1'] = pr[f'ResBlock_{i}']['Conv2d_0']['bias']
-        trunk[f'block{i}_kernel2'] = pr[f'ResBlock_{i}']['Conv2d_1']['kernel']
-        trunk[f'block{i}_bias2'] = pr[f'ResBlock_{i}']['Conv2d_1']['bias']
+    trunk['w1'] = jnp.stack(
+        [pr[f'ResBlock_{i}']['Conv2d_0']['kernel'] for i in range(2)])
+    trunk['b1'] = jnp.stack(
+        [pr[f'ResBlock_{i}']['Conv2d_0']['bias'] for i in range(2)])
+    trunk['w2'] = jnp.stack(
+        [pr[f'ResBlock_{i}']['Conv2d_1']['kernel'] for i in range(2)])
+    trunk['b2'] = jnp.stack(
+        [pr[f'ResBlock_{i}']['Conv2d_1']['bias'] for i in range(2)])
     trunk['close_kernel'] = pr['Conv2d_1']['kernel']
     trunk['close_bias'] = pr['Conv2d_1']['bias']
     pc['params']['Conv2d_0'] = pr['Conv2d_0']
