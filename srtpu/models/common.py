@@ -359,11 +359,13 @@ class CSTrunk(nn.Module):
         from srtpu.ops.resblock import resblock_reference
         n, nb = self.n_feats, self.n_resblocks
         bound = 1.0 / math.sqrt(9 * n)
-        # stacked block params: one batched CS arrangement per step
-        # (per-block params cost ~0.77 ms/step in small transposes)
-        w1 = self.param('w1', torch_uniform_init(bound), (nb, 3, 3, n, n))
+        # block weights are stored stacked AND pre-arranged in CS layout
+        # (L,3C,3C): the forward then needs zero per-step transforms
+        # (HWIO-stored variants cost 0.5-0.8 ms/step in transposes;
+        # PERF.md round 2). Elementwise-identical init distribution.
+        w1 = self.param('w1', torch_uniform_init(bound), (nb, 3 * n, 3 * n))
         b1 = self.param('b1', torch_uniform_init(bound), (nb, n))
-        w2 = self.param('w2', torch_uniform_init(bound), (nb, 3, 3, n, n))
+        w2 = self.param('w2', torch_uniform_init(bound), (nb, 3 * n, 3 * n))
         b2 = self.param('b2', torch_uniform_init(bound), (nb, n))
         wc = self.param('close_kernel', torch_uniform_init(bound),
                         (3, 3, n, n))
@@ -373,11 +375,14 @@ class CSTrunk(nn.Module):
         xd = x.astype(dtype)
         plan = cs_plan(x.shape)
         if plan is None:
+            from srtpu.ops.cs_conv import w_hwio_from_cs
+            w1h = w_hwio_from_cs(w1, n, n)
+            w2h = w_hwio_from_cs(w2, n, n)
             res = xd
             for i in range(nb):
                 res = resblock_reference(
-                    res, w1[i].astype(dtype), b1[i].astype(jnp.float32),
-                    w2[i].astype(dtype), b2[i].astype(jnp.float32),
+                    res, w1h[i].astype(dtype), b1[i].astype(jnp.float32),
+                    w2h[i].astype(dtype), b2[i].astype(jnp.float32),
                     res_scale=self.res_scale)
             res = conv3x3_reference(res, wc.astype(dtype), bc)
             return res + xd

@@ -448,6 +448,13 @@ def w_cs_batch(w: jax.Array) -> jax.Array:
     return jnp.transpose(w, (0, 1, 4, 2, 3)).reshape(l, 3 * c_out, 3 * c_in)
 
 
+def w_hwio_from_cs(w_csd: jax.Array, c_in: int, c_out: int) -> jax.Array:
+    """(L, 3C', 3C) CS arrangement -> (L, 3, 3, C, C') HWIO stack."""
+    l = w_csd.shape[0]
+    return jnp.transpose(w_csd.reshape(l, 3, c_out, 3, c_in),
+                         (0, 1, 3, 4, 2))
+
+
 def w_cs_T_from_cs(w_csd: jax.Array, c_in: int, c_out: int) -> jax.Array:
     """(L, 3C', 3C) CS -> CS arrangement of the VJP (transposed) kernel."""
     l = w_csd.shape[0]
@@ -574,20 +581,24 @@ def _rb_bwd_call_stk(x_cs, h1_cs, g_cs, w1ts, w2ts, scale, l, w_img, k,
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def trunk_cs(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
-    """L fused CS resblocks, stacked weights: w1/w2 (L,3,3,C,C), b (L,C).
+    """L fused CS resblocks. w1/w2 are the CS-ARRANGED stacks (L,3C,3C)
+    (the canonical trunk param layout — see CSTrunk), b (L,C).
 
-    One batched weight arrangement per step; each block's Pallas call DMAs
-    its slice via the BlockSpec index map (no per-block XLA copies).
+    Storing params pre-arranged makes the forward transform-free and the
+    weight grads come back in-layout (the backward accumulator's (3,C,3C)
+    reshape IS the CS arrangement); the only remaining per-step transform
+    is the transposed-kernel arrangement for the backward, done once,
+    batched, in bf16. (The per-block/HWIO variants cost 0.5-0.8 ms/step
+    in transposes — profiled, PERF.md round 2.)
     """
     out, *_ = _trunk_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k)
     return out
 
 
 def _trunk_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
-    c = w1.shape[-1]
     dt = x_cs.dtype
-    w1s = w_cs_batch(w1).astype(dt)
-    w2s = w_cs_batch(w2).astype(dt)
+    w1s = w1.astype(dt)
+    w2s = w2.astype(dt)
     b1s = b1.astype(jnp.float32)[..., None]
     b2s = b2.astype(jnp.float32)[..., None]
     scale = jnp.asarray([[res_scale]], jnp.float32)
@@ -610,9 +621,8 @@ def _trunk_vjp_bwd(res_scale, w_img, k, res, g):
     xs, h1s, w1s, w2s = res
     l_blocks = len(xs)
     c = w1s.shape[1] // 3
-    dt = xs[0].dtype
-    w1ts = w_cs_T_from_cs(w1s, c, c).astype(dt)
-    w2ts = w_cs_T_from_cs(w2s, c, c).astype(dt)
+    w1ts = w_cs_T_from_cs(w1s, c, c)  # bf16 in, bf16 out
+    w2ts = w_cs_T_from_cs(w2s, c, c)
     scale = jnp.asarray([[res_scale]], jnp.float32)
     dw1, db1, dw2, db2 = [None] * l_blocks, [None] * l_blocks, \
         [None] * l_blocks, [None] * l_blocks
@@ -623,12 +633,8 @@ def _trunk_vjp_bwd(res_scale, w_img, k, res, g):
         # CS arrangement exactly — free
         dw1[l], db1[l] = dw1t.reshape(3 * c, 3 * c), db1t[:, 0]
         dw2[l], db2[l] = dw2t.reshape(3 * c, 3 * c), db2t[:, 0]
-    dw1s = jnp.stack(dw1)
-    dw2s = jnp.stack(dw2)
-    # back to stacked HWIO: inverse of w_cs_batch, one batched op each
-    def un_cs(d):
-        return jnp.transpose(d.reshape(-1, 3, c, 3, c), (0, 1, 3, 4, 2))
-    return (g, un_cs(dw1s), jnp.stack(db1), un_cs(dw2s), jnp.stack(db2))
+    return (g, jnp.stack(dw1), jnp.stack(db1),
+            jnp.stack(dw2), jnp.stack(db2))
 
 
 trunk_cs.defvjp(_trunk_vjp_fwd, _trunk_vjp_bwd)

@@ -119,8 +119,12 @@ def test_trunk_cs_matches_blockwise(data):
                       jnp.float32)
     b2b = jnp.asarray(rng.standard_normal((2, 16)) * 0.1, jnp.float32)
 
+    from srtpu.ops.cs_conv import w_cs_batch
+
     def f_trunk(inp):
-        return jnp.sum(jnp.sin(trunk_cs(inp[0], *inp[1:], 0.7, 8, k)))
+        xc, w1_, b1_, w2_, b2_ = inp
+        return jnp.sum(jnp.sin(trunk_cs(
+            xc, w_cs_batch(w1_), b1_, w_cs_batch(w2_), b2_, 0.7, 8, k)))
 
     def f_blocks(inp):
         xc, w1_, b1_, w2_, b2_ = inp
@@ -158,13 +162,14 @@ def test_edsr_cs_matches_default():
     # graft the reference param values into the CS tree
     pr = p_ref['params']
     pc = jax.tree_util.tree_map(lambda v: v, p_cs)  # copy
+    from srtpu.ops.cs_conv import w_cs_batch
     trunk = pc['params']['CSTrunk_0']
-    trunk['w1'] = jnp.stack(
-        [pr[f'ResBlock_{i}']['Conv2d_0']['kernel'] for i in range(2)])
+    trunk['w1'] = w_cs_batch(jnp.stack(
+        [pr[f'ResBlock_{i}']['Conv2d_0']['kernel'] for i in range(2)]))
     trunk['b1'] = jnp.stack(
         [pr[f'ResBlock_{i}']['Conv2d_0']['bias'] for i in range(2)])
-    trunk['w2'] = jnp.stack(
-        [pr[f'ResBlock_{i}']['Conv2d_1']['kernel'] for i in range(2)])
+    trunk['w2'] = w_cs_batch(jnp.stack(
+        [pr[f'ResBlock_{i}']['Conv2d_1']['kernel'] for i in range(2)]))
     trunk['b2'] = jnp.stack(
         [pr[f'ResBlock_{i}']['Conv2d_1']['bias'] for i in range(2)])
     trunk['close_kernel'] = pr['Conv2d_1']['kernel']
