@@ -93,6 +93,71 @@ class ResidualGroup(nn.Module):
         return res + x
 
 
+class CSResidualGroup(nn.Module):
+    """RCAN residual group on the CS-layout kernel path (srtpu.ops.cs_conv
+    resgroup_ca_cs): fused Pallas conv pairs + channel attention computed
+    directly on the transposed layout, one group-level custom VJP with
+    stacked weights. Takes and returns NHWC; CSRCANTrunk below keeps the
+    whole trunk in CS between groups."""
+
+    n_feats: int = 64
+    reduction: int = 16
+    n_resblocks: int = 16
+    dtype: Any = None
+
+    def setup(self):
+        import math
+        n, nb, r = self.n_feats, self.n_resblocks, self.reduction
+        cb = 1.0 / math.sqrt(9 * n)
+        self.w1 = self.param('w1', _u_init(cb), (nb, 3 * n, 3 * n))
+        self.b1 = self.param('b1', _u_init(cb), (nb, n))
+        self.w2 = self.param('w2', _u_init(cb), (nb, 3 * n, 3 * n))
+        self.b2 = self.param('b2', _u_init(cb), (nb, n))
+        self.wd = self.param('wd', _u_init(1 / math.sqrt(n)), (nb, n, n // r))
+        self.bd = self.param('bd', _u_init(1 / math.sqrt(n)), (nb, n // r))
+        self.wu = self.param('wu', _u_init(1 / math.sqrt(n // r)),
+                             (nb, n // r, n))
+        self.bu = self.param('bu', _u_init(1 / math.sqrt(n // r)), (nb, n))
+        self.wc = self.param('wc', _u_init(cb), (3 * n, 3 * n))
+        self.bc = self.param('bc', _u_init(cb), (n,))
+
+    def cs_apply(self, x_cs, h_img, w_img, k):
+        from srtpu.ops.cs_conv import resgroup_ca_cs
+        return resgroup_ca_cs(x_cs, self.w1, self.b1, self.w2, self.b2,
+                              self.wd, self.bd, self.wu, self.bu,
+                              self.wc, self.bc, h_img, w_img, k)
+
+    def xla_apply(self, x):
+        """Fallback for shapes the CS packing doesn't support."""
+        import jax.numpy as jnp
+        from srtpu.ops.cs_conv import (ca_gate_reference,
+                                       conv3x3_reference, w_hwio_from_cs)
+        n = self.n_feats
+        w1h = w_hwio_from_cs(self.w1, n, n)
+        w2h = w_hwio_from_cs(self.w2, n, n)
+        wch = w_hwio_from_cs(self.wc[None], n, n)[0]
+        res = x
+        for i in range(self.n_resblocks):
+            r = conv3x3_reference(res, w1h[i], self.b1[i])
+            r = jnp.maximum(r, 0)
+            r = conv3x3_reference(r, w2h[i], self.b2[i])
+            r = ca_gate_reference(r, self.wd[i], self.bd[i],
+                                  self.wu[i], self.bu[i])
+            res = res + r
+        return conv3x3_reference(res, wch, self.bc) + x
+
+    def __call__(self, x):
+        return self.xla_apply(x)
+
+
+def _u_init(bound):
+    import jax
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 class RCAN(nn.Module):
     scale_factor: int = 4
     channels: int = 3
@@ -101,7 +166,8 @@ class RCAN(nn.Module):
     n_resgroups: int = 10
     reduction: int = 16
     res_scale: float = 1.0
-    use_pallas: bool = False
+    # False: XLA; True: fused Pallas CA gate; 'cs': CS-layout trunk
+    use_pallas: bool | str = False
     dtype: Any = None
 
     @nn.compact
@@ -111,14 +177,17 @@ class RCAN(nn.Module):
 
         x = Conv2d(self.n_feats, 3, dtype=self.dtype)(x)
 
-        res = x
-        for _ in range(self.n_resgroups):
-            res = ResidualGroup(self.n_feats, 3, self.reduction,
-                                self.n_resblocks,
-                                use_pallas=self.use_pallas,
-                                dtype=self.dtype)(res)
-        res = Conv2d(self.n_feats, 3, dtype=self.dtype)(res)
-        x = res + x
+        if self.use_pallas == 'cs':
+            x = self._cs_trunk(x)
+        else:
+            res = x
+            for _ in range(self.n_resgroups):
+                res = ResidualGroup(self.n_feats, 3, self.reduction,
+                                    self.n_resblocks,
+                                    use_pallas=self.use_pallas,
+                                    dtype=self.dtype)(res)
+            res = Conv2d(self.n_feats, 3, dtype=self.dtype)(res)
+            x = res + x
 
         x = UpscaleBlock(self.scale_factor, self.n_feats, dtype=self.dtype)(x)
         x = Conv2d(self.channels, 3, dtype=self.dtype)(x)
@@ -126,3 +195,38 @@ class RCAN(nn.Module):
         if self.channels == 3:
             x = mean_shift(x, sign=1)
         return x
+
+    def _cs_trunk(self, x):
+        """All residual groups + trunk close conv + global skip in CS
+        layout (one conversion each way); XLA fallback off-plan."""
+        import math
+        from srtpu.ops.cs_conv import (conv3x3_cs_pre, conv3x3_reference,
+                                       cs_plan, cs_to_nhwc, nhwc_to_cs,
+                                       w_hwio_from_cs)
+        n = self.n_feats
+        groups = [CSResidualGroup(n_feats=n, reduction=self.reduction,
+                                  n_resblocks=self.n_resblocks,
+                                  dtype=self.dtype)
+                  for _ in range(self.n_resgroups)]
+        cb = 1.0 / math.sqrt(9 * n)
+        wt = self.param('trunk_close_kernel', _u_init(cb), (3 * n, 3 * n))
+        bt = self.param('trunk_close_bias', _u_init(cb), (n,))
+
+        dtype = self.dtype or x.dtype
+        xd = x.astype(dtype)
+        plan = cs_plan(x.shape)
+        if plan is None:
+            res = xd
+            for grp in groups:
+                res = grp.xla_apply(res)
+            wth = w_hwio_from_cs(wt[None], n, n)[0]
+            return conv3x3_reference(res, wth.astype(dtype), bt) + xd
+
+        k, _ = plan
+        h_img, w_img = x.shape[1], x.shape[2]
+        xc = nhwc_to_cs(xd, k)
+        res = xc
+        for grp in groups:
+            res = grp.cs_apply(res, h_img, w_img, k)
+        res = conv3x3_cs_pre(res, wt, bt, w_img, k) + xc
+        return cs_to_nhwc(res, k, h_img, w_img)

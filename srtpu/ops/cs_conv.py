@@ -274,6 +274,30 @@ def _conv_cs_vjp_bwd(w_img, k, res, g):
 conv3x3_cs.defvjp(_conv_cs_vjp_fwd, _conv_cs_vjp_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_cs_pre(x_cs, w_csd, b, w_img, k):
+    """Differentiable CS conv taking the CS-ARRANGED weight (3C',3C)
+    directly (the canonical stored-param layout); grads come back
+    in-layout."""
+    return conv3x3_cs_fwd(x_cs, w_csd.astype(x_cs.dtype),
+                          b.astype(jnp.float32)[:, None], w_img, k)
+
+
+def _conv_cs_pre_vjp_fwd(x_cs, w_csd, b, w_img, k):
+    return conv3x3_cs_pre(x_cs, w_csd, b, w_img, k), (x_cs, w_csd)
+
+
+def _conv_cs_pre_vjp_bwd(w_img, k, res, g):
+    x_cs, w_csd = res
+    c = w_csd.shape[0] // 3
+    wt = w_cs_T_from_cs(w_csd[None].astype(x_cs.dtype), c, c)[0]
+    dx, dwt, db = conv3x3_cs_bwd(x_cs, g, wt, w_img, k)
+    return dx, dwt.reshape(3 * c, 3 * c), db[:, 0]
+
+
+conv3x3_cs_pre.defvjp(_conv_cs_pre_vjp_fwd, _conv_cs_pre_vjp_bwd)
+
+
 # ---------------------------------------------------------------------------
 # fused resblock: conv1 + b1 + ReLU + conv2 + b2, * res_scale + skip
 # ---------------------------------------------------------------------------
@@ -469,7 +493,7 @@ def _stk(l: int, shape3):
 
 
 def _rb_fwd_kernel_stk(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, scale_ref,
-                       out_ref, h1_ref, x3_ref, *, w_img, wk):
+                       out_ref, h1_ref, x3_ref, *, w_img, wk, skip=True):
     x = x_ref[0]
     c, s = x.shape
     _build_x3(x, x3_ref, s, w_img)
@@ -479,13 +503,14 @@ def _rb_fwd_kernel_stk(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, scale_ref,
     _build_x3(h1, x3_ref, s, w_img)
     p = jnp.dot(w2_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
     h2 = _dy_reduce(p, s, wk) + b2_ref[0]
-    out_ref[0] = (h2 * scale_ref[0, 0] + x.astype(jnp.float32)) \
-        .astype(out_ref.dtype)
+    if skip:
+        h2 = h2 * scale_ref[0, 0] + x.astype(jnp.float32)
+    out_ref[0] = h2.astype(out_ref.dtype)
 
 
 def _rb_bwd_kernel_stk(x_ref, h1_ref, g_ref, w1t_ref, w2t_ref, scale_ref,
                        dx_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-                       s3_ref, *, w_img, wk):
+                       s3_ref, *, w_img, wk, skip=True):
     gid = pl.program_id(0)
     x = x_ref[0]
     h1 = h1_ref[0]
@@ -507,8 +532,10 @@ def _rb_bwd_kernel_stk(x_ref, h1_ref, g_ref, w1t_ref, w2t_ref, scale_ref,
 
     _build_x3(dh1, s3_ref, s, w_img)
     p = jnp.dot(w1t_ref[0], s3_ref[...], preferred_element_type=jnp.float32)
-    dx_ref[0] = (_dy_reduce(p, s, wk)
-                 + g.astype(jnp.float32)).astype(dx_ref.dtype)
+    dx = _dy_reduce(p, s, wk)
+    if skip:
+        dx = dx + g.astype(jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
 
     _build_x3(h1, s3_ref, s, w_img)
     h3 = s3_ref[...]
@@ -532,11 +559,11 @@ def _rb_bwd_kernel_stk(x_ref, h1_ref, g_ref, w1t_ref, w2t_ref, scale_ref,
 
 
 def _rb_fwd_call_stk(x_cs, w1s, b1s, w2s, b2s, scale, l, w_img, k,
-                     interpret=None):
+                     interpret=None, skip=True):
     g, c, s = x_cs.shape
     blk, _ = _specs(g, c, s)
     return pl.pallas_call(
-        partial(_rb_fwd_kernel_stk, w_img=w_img, wk=w_img * k),
+        partial(_rb_fwd_kernel_stk, w_img=w_img, wk=w_img * k, skip=skip),
         grid=(g,),
         in_specs=[blk, _stk(l, (3 * c, 3 * c)), _stk(l, (c, 1)),
                   _stk(l, (3 * c, 3 * c)), _stk(l, (c, 1)),
@@ -553,14 +580,14 @@ def _rb_fwd_call_stk(x_cs, w1s, b1s, w2s, b2s, scale, l, w_img, k,
 
 
 def _rb_bwd_call_stk(x_cs, h1_cs, g_cs, w1ts, w2ts, scale, l, w_img, k,
-                     interpret=None):
+                     interpret=None, skip=True):
     g, c, s = x_cs.shape
     blk, _ = _specs(g, c, s)
     acc_w = pl.BlockSpec((3, c, 3 * c), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     acc_b = pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_rb_bwd_kernel_stk, w_img=w_img, wk=w_img * k),
+        partial(_rb_bwd_kernel_stk, w_img=w_img, wk=w_img * k, skip=skip),
         grid=(g,),
         in_specs=[blk, blk, blk, _stk(l, (3 * c, 3 * c)),
                   _stk(l, (3 * c, 3 * c)),
@@ -638,6 +665,148 @@ def _trunk_vjp_bwd(res_scale, w_img, k, res, g):
 
 
 trunk_cs.defvjp(_trunk_vjp_fwd, _trunk_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# RCAN residual group in CS layout (RCABs + close conv + group skip)
+# ---------------------------------------------------------------------------
+#
+# RCAB = conv-relu-conv (fused Pallas pair, skip=False) followed by a
+# channel-attention gate. The gate runs in XLA but DIRECTLY ON THE CS
+# LAYOUT (per-image lane-segment means + a (C -> C/r -> C) MLP), so the
+# trunk never leaves the transposed layout. The whole group is one custom
+# VJP: weights stay stacked (each Pallas call DMAs its slice), and the
+# gate's backward is hand-derived below. Reference: models/rcan.py:10-77.
+
+
+def _seg_mean(r_cs: jax.Array, h: int, k: int, w: int) -> jax.Array:
+    """(G, C, S) CS -> (G, k, C) per-image spatial means."""
+    g, c, _ = r_cs.shape
+    v = r_cs.astype(jnp.float32).reshape(g, c, h, k, w)
+    return jnp.transpose(jnp.mean(v, axis=(2, 4)), (0, 2, 1))
+
+
+def _seg_broadcast(q: jax.Array, h: int, k: int, w: int,
+                   s: int) -> jax.Array:
+    """(G, k, C) per-image vectors -> (G, C, S) CS broadcast."""
+    g, _, c = q.shape
+    v = jnp.broadcast_to(jnp.transpose(q, (0, 2, 1))[:, :, None, :, None],
+                         (g, c, h, k, w))
+    return v.reshape(g, c, s)
+
+
+def _ca_gate(r_cs, wd, bd, wu, bu, h, k, w):
+    """Channel-attention forward on CS layout; returns (q_cs, p, z, q)."""
+    p = _seg_mean(r_cs, h, k, w)                          # (G, k, C)
+    z = jnp.maximum(jnp.einsum('gkc,cr->gkr', p, wd) + bd, 0.0)
+    q = jax.nn.sigmoid(jnp.einsum('gkr,rc->gkc', z, wu) + bu)
+    return _seg_broadcast(q, h, k, w, r_cs.shape[-1]), p, z, q
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def resgroup_ca_cs(x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc,
+                   h_img, w_img, k):
+    """RCAN residual group, CS layout. w1/w2 (L,3C,3C) CS-arranged;
+    b1/b2 (L,C); CA mlp wd (L,C,C/r), bd (L,C/r), wu (L,C/r,C), bu (L,C);
+    close conv wc (3C,3C) CS-arranged, bc (C,)."""
+    out, *_ = _rg_fwd(x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc,
+                      h_img, w_img, k)
+    return out
+
+
+def _rg_fwd(x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc, h_img, w_img, k):
+    dt = x_cs.dtype
+    w1s, w2s = w1.astype(dt), w2.astype(dt)
+    b1s = b1.astype(jnp.float32)[..., None]
+    b2s = b2.astype(jnp.float32)[..., None]
+    one = jnp.asarray([[1.0]], jnp.float32)
+    xs, h1s, r2s, ps, zs, qs = [], [], [], [], [], []
+    x = x_cs
+    for l in range(w1.shape[0]):
+        xs.append(x)
+        r2, h1 = _rb_fwd_call_stk(x, w1s, b1s, w2s, b2s, one, l, w_img, k,
+                                  skip=False)
+        q_cs, p, z, q = _ca_gate(r2, wd[l], bd[l], wu[l], bu[l],
+                                 h_img, k, w_img)
+        x = (x.astype(jnp.float32)
+             + r2.astype(jnp.float32) * q_cs).astype(dt)
+        h1s.append(h1); r2s.append(r2); ps.append(p); zs.append(z)
+        qs.append(q)
+    x_close = x
+    r = conv3x3_cs_fwd(x_close, wc.astype(dt),
+                       bc.astype(jnp.float32)[:, None], w_img, k)
+    out = (r.astype(jnp.float32) + x_cs.astype(jnp.float32)).astype(dt)
+    return out, xs, h1s, r2s, ps, zs, qs, x_close, w1s, w2s
+
+
+def _rg_vjp_fwd(x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc,
+                h_img, w_img, k):
+    out, xs, h1s, r2s, ps, zs, qs, x_close, w1s, w2s = _rg_fwd(
+        x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc, h_img, w_img, k)
+    return out, (tuple(xs), tuple(h1s), tuple(r2s), tuple(ps), tuple(zs),
+                 tuple(qs), x_close, w1s, w2s, wd, wu, wc)
+
+
+def _rg_vjp_bwd(h_img, w_img, k, res, g_out):
+    xs, h1s, r2s, ps, zs, qs, x_close, w1s, w2s, wd, wu, wc = res
+    l_blocks = len(xs)
+    c = w1s.shape[1] // 3
+    dt = xs[0].dtype
+    n_pix = h_img * w_img
+    one = jnp.asarray([[1.0]], jnp.float32)
+
+    # close conv: out = conv(x_close) + x_cs
+    wct = w_cs_T_from_cs(wc[None].astype(dt), c, c)[0]
+    g, dwc, dbc = conv3x3_cs_bwd(x_close, g_out, wct, w_img, k)
+    dx_skip = g_out  # group skip to x_cs
+
+    w1ts = w_cs_T_from_cs(w1s, c, c)
+    w2ts = w_cs_T_from_cs(w2s, c, c)
+    dW1 = [None] * l_blocks; dB1 = [None] * l_blocks
+    dW2 = [None] * l_blocks; dB2 = [None] * l_blocks
+    dWD = [None] * l_blocks; dBD = [None] * l_blocks
+    dWU = [None] * l_blocks; dBU = [None] * l_blocks
+    for l in reversed(range(l_blocks)):
+        gf = g.astype(jnp.float32)
+        r2f = r2s[l].astype(jnp.float32)
+        p, z, q = ps[l], zs[l], qs[l]
+        # x_{l+1} = x_l + r2 * broadcast(q);  q = sig(relu(p wd) wu)
+        q_cs = _seg_broadcast(q, h_img, k, w_img, gf.shape[-1])
+        dr2 = gf * q_cs
+        dq = _seg_mean(gf * r2f, h_img, k, w_img) * n_pix  # seg SUM
+        dzq = dq * q * (1.0 - q)
+        dWU[l] = jnp.einsum('gkr,gkc->rc', z, dzq)
+        dBU[l] = jnp.sum(dzq, axis=(0, 1))
+        dz = jnp.einsum('gkc,rc->gkr', dzq, wu[l]) * (z > 0)
+        dWD[l] = jnp.einsum('gkc,gkr->cr', p, dz)
+        dBD[l] = jnp.sum(dz, axis=(0, 1))
+        dp = jnp.einsum('gkr,cr->gkc', dz, wd[l])
+        dr2 = dr2 + _seg_broadcast(dp / n_pix, h_img, k, w_img,
+                                   gf.shape[-1])
+        dx_pair, dw1t, db1t, dw2t, db2t = _rb_bwd_call_stk(
+            xs[l], h1s[l], dr2.astype(dt), w1ts, w2ts, one, l, w_img, k,
+            skip=False)
+        g = (gf + dx_pair.astype(jnp.float32)).astype(dt)
+        dW1[l] = dw1t.reshape(3 * c, 3 * c); dB1[l] = db1t[:, 0]
+        dW2[l] = dw2t.reshape(3 * c, 3 * c); dB2[l] = db2t[:, 0]
+
+    dx = (g.astype(jnp.float32)
+          + dx_skip.astype(jnp.float32)).astype(dt)
+    return (dx, jnp.stack(dW1), jnp.stack(dB1), jnp.stack(dW2),
+            jnp.stack(dB2), jnp.stack(dWD), jnp.stack(dBD),
+            jnp.stack(dWU), jnp.stack(dBU),
+            dwc.reshape(3 * c, 3 * c), dbc[:, 0])
+
+
+resgroup_ca_cs.defvjp(_rg_vjp_fwd, _rg_vjp_bwd)
+
+
+def ca_gate_reference(r, wd, bd, wu, bu):
+    """NHWC channel attention (reference models/rcan.py:10-31 math)."""
+    p = jnp.mean(r.astype(jnp.float32), axis=(1, 2))
+    z = jnp.maximum(p @ wd + bd, 0.0)
+    q = jax.nn.sigmoid(z @ wu + bu)
+    return r * q[:, None, None, :].astype(r.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -140,6 +140,106 @@ def test_trunk_cs_matches_blockwise(data):
         np.testing.assert_allclose(a, b, atol=1e-3)
 
 
+def test_resgroup_ca_cs_matches_xla(data):
+    """RCAN residual group (fused pairs + CS-layout channel attention,
+    group-level VJP with hand-derived CA gradients) vs plain XLA math."""
+    from srtpu.ops.cs_conv import (ca_gate_reference, resgroup_ca_cs,
+                                   w_cs_batch, w_hwio_from_cs)
+    rng = np.random.default_rng(9)
+    B, H, W, C, L, R = 4, 8, 8, 16, 2, 4
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    k, _ = cs_plan(x.shape)
+    x_cs = nhwc_to_cs(x, k)
+
+    def mk(*shape, s=0.1):
+        return jnp.asarray(rng.standard_normal(shape) * s, jnp.float32)
+
+    w1 = w_cs_batch(mk(L, 3, 3, C, C))
+    b1, b2 = mk(L, C), mk(L, C)
+    w2 = w_cs_batch(mk(L, 3, 3, C, C))
+    wd, bd = mk(L, C, C // R), mk(L, C // R)
+    wu, bu = mk(L, C // R, C, s=0.5), mk(L, C)
+    wc = w_cs_batch(mk(1, 3, 3, C, C))[0]
+    bc = mk(C)
+    args = (x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc)
+
+    def f_cs(a):
+        return jnp.sum(jnp.sin(resgroup_ca_cs(*a, H, W, k)))
+
+    def f_ref(a):
+        xc, w1_, b1_, w2_, b2_, wd_, bd_, wu_, bu_, wc_, bc_ = a
+        xn = cs_to_nhwc(xc, k, H, W)
+        w1h, w2h = w_hwio_from_cs(w1_, C, C), w_hwio_from_cs(w2_, C, C)
+        wch = w_hwio_from_cs(wc_[None], C, C)[0]
+        res = xn
+        for i in range(L):
+            r = jnp.maximum(conv3x3_reference(res, w1h[i], b1_[i]), 0)
+            r = conv3x3_reference(r, w2h[i], b2_[i])
+            r = ca_gate_reference(r, wd_[i], bd_[i], wu_[i], bu_[i])
+            res = res + r
+        out = conv3x3_reference(res, wch, bc_) + xn
+        return jnp.sum(jnp.sin(nhwc_to_cs(out, k)))
+
+    np.testing.assert_allclose(f_cs(args), f_ref(args), rtol=1e-4)
+    g_cs = jax.grad(f_cs)(args)
+    g_rf = jax.grad(f_ref)(args)
+    names = ['dx', 'dw1', 'db1', 'dw2', 'db2', 'dwd', 'dbd', 'dwu',
+             'dbu', 'dwc', 'dbc']
+    for nm, a, b in zip(names, g_cs, g_rf):
+        np.testing.assert_allclose(a, b, atol=2e-3, err_msg=nm)
+
+
+def test_rcan_cs_matches_default():
+    """RCAN(use_pallas='cs') == RCAN(default) given identical params."""
+    from srtpu.models import create_model
+    from srtpu.ops.cs_conv import w_cs_batch
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32)
+    kw = dict(scale_factor=2, n_feats=16, n_resblocks=2, n_resgroups=2,
+              reduction=4)
+    m_ref = create_model('RCAN', **kw)
+    m_cs = create_model('RCAN', use_pallas='cs', **kw)
+    p_ref = m_ref.init(jax.random.PRNGKey(0), x)
+    p_cs = m_cs.init(jax.random.PRNGKey(0), x)
+    pr = p_ref['params']
+    pc = jax.tree_util.tree_map(lambda v: v, p_cs)
+
+    for gi in range(2):
+        rg, cg = pr[f'ResidualGroup_{gi}'], pc['params'][f'CSResidualGroup_{gi}']
+        cg['w1'] = w_cs_batch(jnp.stack(
+            [rg[f'RCAB_{i}']['Conv2d_0']['kernel'] for i in range(2)]))
+        cg['b1'] = jnp.stack(
+            [rg[f'RCAB_{i}']['Conv2d_0']['bias'] for i in range(2)])
+        cg['w2'] = w_cs_batch(jnp.stack(
+            [rg[f'RCAB_{i}']['Conv2d_1']['kernel'] for i in range(2)]))
+        cg['b2'] = jnp.stack(
+            [rg[f'RCAB_{i}']['Conv2d_1']['bias'] for i in range(2)])
+        cg['wd'] = jnp.stack(
+            [rg[f'RCAB_{i}']['CALayer_0']['Conv2d_0']['kernel'][0, 0]
+             for i in range(2)])
+        cg['bd'] = jnp.stack(
+            [rg[f'RCAB_{i}']['CALayer_0']['Conv2d_0']['bias']
+             for i in range(2)])
+        cg['wu'] = jnp.stack(
+            [rg[f'RCAB_{i}']['CALayer_0']['Conv2d_1']['kernel'][0, 0]
+             for i in range(2)])
+        cg['bu'] = jnp.stack(
+            [rg[f'RCAB_{i}']['CALayer_0']['Conv2d_1']['bias']
+             for i in range(2)])
+        cg['wc'] = w_cs_batch(rg['Conv2d_0']['kernel'][None])[0]
+        cg['bc'] = rg['Conv2d_0']['bias']
+    pc['params']['Conv2d_0'] = pr['Conv2d_0']
+    pc['params']['trunk_close_kernel'] = w_cs_batch(
+        pr['Conv2d_1']['kernel'][None])[0]
+    pc['params']['trunk_close_bias'] = pr['Conv2d_1']['bias']
+    pc['params']['UpscaleBlock_0'] = pr['UpscaleBlock_0']
+    pc['params']['Conv2d_1'] = pr['Conv2d_2']
+
+    out_ref = m_ref.apply(p_ref, x)
+    out_cs = m_cs.apply(pc, x)
+    np.testing.assert_allclose(out_cs, out_ref, atol=1e-4)
+
+
 def test_cs_plan_fallbacks():
     assert cs_plan((16, 32, 32, 64)) == (4, 4)       # flagship shape
     assert cs_plan((1, 200, 200, 64)) is None        # too big for VMEM
