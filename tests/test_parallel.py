@@ -42,6 +42,37 @@ def test_mesh_shapes(mesh8):
     assert mesh8.devices.size == 8
 
 
+def test_cs_kernel_path_matches_single_under_mesh(mesh8):
+    """EDSR(use_pallas='cs') under the dp+sp mesh == single device.
+
+    Pallas custom calls are not GSPMD-partitionable; the partitioner must
+    gather around them (correct, if not free) — this pins the numerics so
+    a silent wrong-halo regression can't ship."""
+    model = create_model('EDSR', scale_factor=2, n_feats=16, n_resblocks=2,
+                         use_pallas='cs')
+    composite = parse_losses('l1')
+    tx = build_optimizer('ADAM', ['lr=1e-3'])
+    rng = jax.random.PRNGKey(0)
+    lr_img = jax.random.uniform(rng, (8, 8, 8, 3))
+    hr_img = jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 16, 3))
+    state = create_train_state(model, tx, rng, lr_img, composite)
+
+    single = make_train_step(composite, donate=False)
+    s1, logs1 = single(state, lr_img, hr_img)
+
+    pstate = replicate_state(mesh8, state)
+    lr_s, hr_s = shard_batch(mesh8, np.asarray(lr_img), np.asarray(hr_img))
+    pstep = make_parallel_train_step(composite, mesh8, donate=False)
+    s2, logs2 = pstep(pstate, lr_s, hr_s)
+
+    np.testing.assert_allclose(float(logs1['loss']), float(logs2['loss']),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_parallel_train_step_matches_single_device(mesh8):
     """DP+SP sharded step computes the SAME update as single-device."""
     model, composite, state, lr_img, hr_img = _setup(mesh8)
