@@ -679,28 +679,188 @@ trunk_cs.defvjp(_trunk_vjp_fwd, _trunk_vjp_bwd)
 # gate's backward is hand-derived below. Reference: models/rcan.py:10-77.
 
 
-def _seg_mean(r_cs: jax.Array, h: int, k: int, w: int) -> jax.Array:
-    """(G, C, S) CS -> (G, k, C) per-image spatial means."""
-    g, c, _ = r_cs.shape
-    v = r_cs.astype(jnp.float32).reshape(g, c, h, k, w)
-    return jnp.transpose(jnp.mean(v, axis=(2, 4)), (0, 2, 1))
 
 
-def _seg_broadcast(q: jax.Array, h: int, k: int, w: int,
-                   s: int) -> jax.Array:
-    """(G, k, C) per-image vectors -> (G, C, S) CS broadcast."""
-    g, _, c = q.shape
-    v = jnp.broadcast_to(jnp.transpose(q, (0, 2, 1))[:, :, None, :, None],
-                         (g, c, h, k, w))
-    return v.reshape(g, c, s)
+
+def _seg_masks(s, w, k):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    img = (lane % (w * k)) // w
+    return [img == j for j in range(k)]
 
 
-def _ca_gate(r_cs, wd, bd, wu, bu, h, k, w):
-    """Channel-attention forward on CS layout; returns (q_cs, p, z, q)."""
-    p = _seg_mean(r_cs, h, k, w)                          # (G, k, C)
-    z = jnp.maximum(jnp.einsum('gkc,cr->gkr', p, wd) + bd, 0.0)
-    q = jax.nn.sigmoid(jnp.einsum('gkr,rc->gkc', z, wu) + bu)
-    return _seg_broadcast(q, h, k, w, r_cs.shape[-1]), p, z, q
+def _pool_cols(v, masks, n_pix):
+    """Per-image lane-segment means of v (C, S) -> (C, k) f32."""
+    cols = [jnp.sum(jnp.where(m, v, 0.0), axis=1, keepdims=True)
+            for m in masks]
+    return jnp.concatenate(cols, axis=1) / n_pix
+
+
+def _gate_cs(q, masks, s):
+    """(C, k) per-image vectors -> (C, S) via segment masks."""
+    acc = jnp.zeros((q.shape[0], s), jnp.float32)
+    for j, m in enumerate(masks):
+        acc = jnp.where(m, q[:, j:j + 1], acc)
+    return acc
+
+
+def _ca_forward(r2f, wdt, wut, bd, bu, masks, n_pix):
+    """In-kernel channel attention: returns (p, z, q) — all f32."""
+    p = _pool_cols(r2f, masks, n_pix)                    # (C, k)
+    z = jnp.maximum(jnp.dot(wdt, p,
+                            preferred_element_type=jnp.float32) + bd, 0.0)
+    q = jax.nn.sigmoid(jnp.dot(wut, z,
+                               preferred_element_type=jnp.float32) + bu)
+    return p, z, q
+
+
+def _rcab_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     wdt_ref, bd_ref, wut_ref, bu_ref,
+                     out_ref, h1_ref, r2_ref, x3_ref, *, w_img, wk, k):
+    x = x_ref[0]
+    c, s = x.shape
+    _build_x3(x, x3_ref, s, w_img)
+    p_ = jnp.dot(w1_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(_dy_reduce(p_, s, wk) + b1_ref[0], 0.0).astype(x.dtype)
+    h1_ref[0] = h1
+    _build_x3(h1, x3_ref, s, w_img)
+    p_ = jnp.dot(w2_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
+    r2f = _dy_reduce(p_, s, wk) + b2_ref[0]
+    r2_ref[0] = r2f.astype(x.dtype)
+
+    masks = _seg_masks(s, w_img, k)
+    _, _, q = _ca_forward(r2f, wdt_ref[0], wut_ref[0], bd_ref[0],
+                          bu_ref[0], masks, s // k)
+    out_ref[0] = (x.astype(jnp.float32)
+                  + r2f * _gate_cs(q, masks, s)).astype(out_ref.dtype)
+
+
+def _rcab_bwd_kernel(x_ref, h1_ref, r2_ref, g_ref, w1t_ref, w2t_ref,
+                     wd_ref, wdt_ref, wu_ref, wut_ref, bd_ref, bu_ref,
+                     dx_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+                     dwd_ref, dbd_ref, dwu_ref, dbu_ref,
+                     s3_ref, *, w_img, wk, k):
+    gid = pl.program_id(0)
+    x = x_ref[0]
+    h1 = h1_ref[0]
+    g = g_ref[0]
+    c, s = x.shape
+    r2f = r2_ref[0].astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    masks = _seg_masks(s, w_img, k)
+    n_pix = s // k
+
+    @pl.when(gid == 0)
+    def _():
+        for ref in (dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+                    dwd_ref, dbd_ref, dwu_ref, dbu_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    # recompute the gate pieces from the saved r2 (tiny MLP)
+    p, z, q = _ca_forward(r2f, wdt_ref[0], wut_ref[0], bd_ref[0],
+                          bu_ref[0], masks, n_pix)
+    # out = x + r2 * gate(q):  dr2 = g*q_b + broadcast(dp)/n_pix
+    dq = _pool_cols(gf * r2f, masks, 1.0)                 # seg SUM (C, k)
+    dzq = dq * q * (1.0 - q)
+    dwu_ref[...] += jax.lax.dot_general(
+        z, dzq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (Cr, C)
+    dbu_ref[...] += jnp.sum(dzq, axis=1, keepdims=True)
+    dz = jnp.dot(wu_ref[0], dzq,
+                 preferred_element_type=jnp.float32) * (z > 0)
+    dwd_ref[...] += jax.lax.dot_general(
+        p, dz, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (C, Cr)
+    dbd_ref[...] += jnp.sum(dz, axis=1, keepdims=True)
+    dp = jnp.dot(wd_ref[0], dz, preferred_element_type=jnp.float32)
+    dr2 = (gf * _gate_cs(q, masks, s)
+           + _gate_cs(dp / n_pix, masks, s)).astype(x.dtype)
+
+    # conv-pair backward (skip-free), dh1 through the saved relu mask
+    _build_x3(dr2, s3_ref, s, w_img)
+    p_ = jnp.dot(w2t_ref[0], s3_ref[...], preferred_element_type=jnp.float32)
+    dh1 = jnp.where(h1.astype(jnp.float32) > 0,
+                    _dy_reduce(p_, s, wk), 0.0).astype(x.dtype)
+    _build_x3(dh1, s3_ref, s, w_img)
+    p_ = jnp.dot(w1t_ref[0], s3_ref[...], preferred_element_type=jnp.float32)
+    dx_ref[0] = (_dy_reduce(p_, s, wk) + gf).astype(dx_ref.dtype)
+
+    _build_x3(h1, s3_ref, s, w_img)
+    h3 = s3_ref[...]
+    dr2f = dr2.astype(jnp.float32)
+    for dy in range(3):
+        gr = _gs_roll(dr2f, dy, s, wk).astype(x.dtype)
+        dw2t_ref[dy] += jax.lax.dot_general(
+            gr, h3, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.sum(dr2f, axis=1, keepdims=True)
+
+    _build_x3(x, s3_ref, s, w_img)
+    x3 = s3_ref[...]
+    dh1f = dh1.astype(jnp.float32)
+    for dy in range(3):
+        dr_ = _gs_roll(dh1f, dy, s, wk).astype(x.dtype)
+        dw1t_ref[dy] += jax.lax.dot_general(
+            dr_, x3, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    db1_ref[...] += jnp.sum(dh1f, axis=1, keepdims=True)
+
+
+def _rcab_fwd_call(x_cs, w1s, b1s, w2s, b2s, wdts, bds, wuts, bus,
+                   l, w_img, k, interpret=None):
+    g, c, s = x_cs.shape
+    cr = wdts.shape[1]
+    blk, _ = _specs(g, c, s)
+    return pl.pallas_call(
+        partial(_rcab_fwd_kernel, w_img=w_img, wk=w_img * k, k=k),
+        grid=(g,),
+        in_specs=[blk, _stk(l, (3 * c, 3 * c)), _stk(l, (c, 1)),
+                  _stk(l, (3 * c, 3 * c)), _stk(l, (c, 1)),
+                  _stk(l, (cr, c)), _stk(l, (cr, 1)),
+                  _stk(l, (c, cr)), _stk(l, (c, 1))],
+        out_specs=(blk, blk, blk),
+        out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),) * 3,
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 9 * c * c * s * g,
+            bytes_accessed=4 * c * s * g * 2, transcendentals=s * g),
+    )(x_cs, w1s, b1s, w2s, b2s, wdts, bds, wuts, bus)
+
+
+def _rcab_bwd_call(x_cs, h1_cs, r2_cs, g_cs, w1ts, w2ts,
+                   wds, wdts, wus, wuts, bds, bus, l, w_img, k,
+                   interpret=None):
+    g, c, s = x_cs.shape
+    cr = wdts.shape[1]
+    blk, _ = _specs(g, c, s)
+    acc = lambda *shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                    memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_rcab_bwd_kernel, w_img=w_img, wk=w_img * k, k=k),
+        grid=(g,),
+        in_specs=[blk, blk, blk, blk,
+                  _stk(l, (3 * c, 3 * c)), _stk(l, (3 * c, 3 * c)),
+                  _stk(l, (c, cr)), _stk(l, (cr, c)),
+                  _stk(l, (cr, c)), _stk(l, (c, cr)),
+                  _stk(l, (cr, 1)), _stk(l, (c, 1))],
+        out_specs=(blk, acc(3, c, 3 * c), acc(c, 1), acc(3, c, 3 * c),
+                   acc(c, 1), acc(c, cr), acc(cr, 1), acc(cr, c),
+                   acc(c, 1)),
+        out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
+                   jax.ShapeDtypeStruct((3, c, 3 * c), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((3, c, 3 * c), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((c, cr), jnp.float32),
+                   jax.ShapeDtypeStruct((cr, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((cr, c), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * 9 * c * c * s * g,
+            bytes_accessed=6 * c * s * g * 2, transcendentals=s * g),
+    )(x_cs, h1_cs, r2_cs, g_cs, w1ts, w2ts, wds, wdts, wus, wuts, bds, bus)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
@@ -719,41 +879,38 @@ def _rg_fwd(x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc, h_img, w_img, k):
     w1s, w2s = w1.astype(dt), w2.astype(dt)
     b1s = b1.astype(jnp.float32)[..., None]
     b2s = b2.astype(jnp.float32)[..., None]
-    one = jnp.asarray([[1.0]], jnp.float32)
-    xs, h1s, r2s, ps, zs, qs = [], [], [], [], [], []
+    wdts = jnp.transpose(wd, (0, 2, 1))      # (L, Cr, C)
+    wuts = jnp.transpose(wu, (0, 2, 1))      # (L, C, Cr)
+    bds = bd[..., None]
+    bus = bu[..., None]
+    xs, h1s, r2s = [], [], []
     x = x_cs
     for l in range(w1.shape[0]):
         xs.append(x)
-        r2, h1 = _rb_fwd_call_stk(x, w1s, b1s, w2s, b2s, one, l, w_img, k,
-                                  skip=False)
-        q_cs, p, z, q = _ca_gate(r2, wd[l], bd[l], wu[l], bu[l],
-                                 h_img, k, w_img)
-        x = (x.astype(jnp.float32)
-             + r2.astype(jnp.float32) * q_cs).astype(dt)
-        h1s.append(h1); r2s.append(r2); ps.append(p); zs.append(z)
-        qs.append(q)
+        x, h1, r2 = _rcab_fwd_call(x, w1s, b1s, w2s, b2s, wdts, bds,
+                                   wuts, bus, l, w_img, k)
+        h1s.append(h1); r2s.append(r2)
     x_close = x
     r = conv3x3_cs_fwd(x_close, wc.astype(dt),
                        bc.astype(jnp.float32)[:, None], w_img, k)
-    out = (r.astype(jnp.float32) + x_cs.astype(jnp.float32)).astype(dt)
-    return out, xs, h1s, r2s, ps, zs, qs, x_close, w1s, w2s
+    out = r + x_cs
+    return out, xs, h1s, r2s, x_close, w1s, w2s, wdts, wuts, bds, bus
 
 
 def _rg_vjp_fwd(x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc,
                 h_img, w_img, k):
-    out, xs, h1s, r2s, ps, zs, qs, x_close, w1s, w2s = _rg_fwd(
+    out, xs, h1s, r2s, x_close, w1s, w2s, wdts, wuts, bds, bus = _rg_fwd(
         x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc, h_img, w_img, k)
-    return out, (tuple(xs), tuple(h1s), tuple(r2s), tuple(ps), tuple(zs),
-                 tuple(qs), x_close, w1s, w2s, wd, wu, wc)
+    return out, (tuple(xs), tuple(h1s), tuple(r2s), x_close, w1s, w2s,
+                 wd, wu, wdts, wuts, bds, bus, wc)
 
 
 def _rg_vjp_bwd(h_img, w_img, k, res, g_out):
-    xs, h1s, r2s, ps, zs, qs, x_close, w1s, w2s, wd, wu, wc = res
+    (xs, h1s, r2s, x_close, w1s, w2s, wd, wu, wdts, wuts, bds, bus,
+     wc) = res
     l_blocks = len(xs)
     c = w1s.shape[1] // 3
     dt = xs[0].dtype
-    n_pix = h_img * w_img
-    one = jnp.asarray([[1.0]], jnp.float32)
 
     # close conv: out = conv(x_close) + x_cs
     wct = w_cs_T_from_cs(wc[None].astype(dt), c, c)[0]
@@ -762,39 +919,26 @@ def _rg_vjp_bwd(h_img, w_img, k, res, g_out):
 
     w1ts = w_cs_T_from_cs(w1s, c, c)
     w2ts = w_cs_T_from_cs(w2s, c, c)
-    dW1 = [None] * l_blocks; dB1 = [None] * l_blocks
-    dW2 = [None] * l_blocks; dB2 = [None] * l_blocks
-    dWD = [None] * l_blocks; dBD = [None] * l_blocks
-    dWU = [None] * l_blocks; dBU = [None] * l_blocks
+    outs = {n: [None] * l_blocks
+            for n in ('w1', 'b1', 'w2', 'b2', 'wd', 'bd', 'wu', 'bu')}
     for l in reversed(range(l_blocks)):
-        gf = g.astype(jnp.float32)
-        r2f = r2s[l].astype(jnp.float32)
-        p, z, q = ps[l], zs[l], qs[l]
-        # x_{l+1} = x_l + r2 * broadcast(q);  q = sig(relu(p wd) wu)
-        q_cs = _seg_broadcast(q, h_img, k, w_img, gf.shape[-1])
-        dr2 = gf * q_cs
-        dq = _seg_mean(gf * r2f, h_img, k, w_img) * n_pix  # seg SUM
-        dzq = dq * q * (1.0 - q)
-        dWU[l] = jnp.einsum('gkr,gkc->rc', z, dzq)
-        dBU[l] = jnp.sum(dzq, axis=(0, 1))
-        dz = jnp.einsum('gkc,rc->gkr', dzq, wu[l]) * (z > 0)
-        dWD[l] = jnp.einsum('gkc,gkr->cr', p, dz)
-        dBD[l] = jnp.sum(dz, axis=(0, 1))
-        dp = jnp.einsum('gkr,cr->gkc', dz, wd[l])
-        dr2 = dr2 + _seg_broadcast(dp / n_pix, h_img, k, w_img,
-                                   gf.shape[-1])
-        dx_pair, dw1t, db1t, dw2t, db2t = _rb_bwd_call_stk(
-            xs[l], h1s[l], dr2.astype(dt), w1ts, w2ts, one, l, w_img, k,
-            skip=False)
-        g = (gf + dx_pair.astype(jnp.float32)).astype(dt)
-        dW1[l] = dw1t.reshape(3 * c, 3 * c); dB1[l] = db1t[:, 0]
-        dW2[l] = dw2t.reshape(3 * c, 3 * c); dB2[l] = db2t[:, 0]
+        (g, dw1t, db1t, dw2t, db2t, dwd, dbd, dwu, dbu) = _rcab_bwd_call(
+            xs[l], h1s[l], r2s[l], g, w1ts, w2ts, wd, wdts, wu, wuts,
+            bds, bus, l, w_img, k)
+        outs['w1'][l] = dw1t.reshape(3 * c, 3 * c)
+        outs['b1'][l] = db1t[:, 0]
+        outs['w2'][l] = dw2t.reshape(3 * c, 3 * c)
+        outs['b2'][l] = db2t[:, 0]
+        outs['wd'][l] = dwd
+        outs['bd'][l] = dbd[:, 0]
+        outs['wu'][l] = dwu
+        outs['bu'][l] = dbu[:, 0]
 
     dx = (g.astype(jnp.float32)
           + dx_skip.astype(jnp.float32)).astype(dt)
-    return (dx, jnp.stack(dW1), jnp.stack(dB1), jnp.stack(dW2),
-            jnp.stack(dB2), jnp.stack(dWD), jnp.stack(dBD),
-            jnp.stack(dWU), jnp.stack(dBU),
+    st = {n: jnp.stack(v) for n, v in outs.items()}
+    return (dx, st['w1'], st['b1'], st['w2'], st['b2'], st['wd'],
+            st['bd'], st['wu'], st['bu'],
             dwc.reshape(3 * c, 3 * c), dbc[:, 0])
 
 
