@@ -395,6 +395,103 @@ class CSTrunk(nn.Module):
         return cs_to_nhwc(res, k, x.shape[1], w_img)
 
 
+class CSUpscaleTail(nn.Module):
+    """EDSR tail (sub-pixel upscaler + final conv) on the CS kernel path.
+
+    Each upscale stage is ONE fused Pallas kernel (conv C -> r^2*C with
+    phase-major outputs + the pixel shuffle as per-row selection matmuls)
+    — the NHWC shuffle's reshape/transpose layout copies (~0.7 ms/step at
+    EDSR-baseline, PERF.md round 2) never happen. The final 3-channel
+    conv also runs in CS; only the (B, H, W, 3) result converts back.
+    Same math as UpscaleBlock + Conv2d (reference models/common.py:112-139
+    + models/edsr.py:34-36); torch PixelShuffle channel order is absorbed
+    into the stored weight arrangement.
+    """
+
+    scale_factor: int = 4
+    n_feats: int = 64
+    channels: int = 3
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from srtpu.ops.cs_conv import (conv3x3_cs_pre, cs_plan, cs_regroup,
+                                       cs_to_nhwc, nhwc_to_cs, upsample_cs,
+                                       w_hwio_from_cs, w_ps_hwio)
+        n = self.n_feats
+        assert self.scale_factor in (2, 3, 4, 8)
+        rs = [3] if self.scale_factor == 3 else \
+            [2] * int(math.log2(self.scale_factor))
+        bound = 1.0 / math.sqrt(9 * n)
+        ws, bs = [], []
+        for i, r in enumerate(rs):
+            ws.append(self.param(f'up{i}_kernel', torch_uniform_init(bound),
+                                 (r * r, 3 * n, 3 * n)))
+            bs.append(self.param(f'up{i}_bias', torch_uniform_init(bound),
+                                 (r * r, n)))
+        wf = self.param('final_kernel', torch_uniform_init(bound),
+                        (3 * self.channels, 3 * n))
+        bf = self.param('final_bias', torch_uniform_init(bound),
+                        (self.channels,))
+
+        dtype = self.dtype or x.dtype
+        xd = x.astype(dtype)
+        b, h, w, _ = x.shape
+        plan = cs_plan(x.shape)
+        # every stage input must fit the kernels (S <= 4096; final conv
+        # reads S_f <= 16384)
+        ok = plan is not None
+        if ok:
+            k, hh, ww = plan[0], h, w
+            for r in rs[:-1]:
+                if hh * ww * k > 4096:
+                    ok = False
+                    break
+                hh, ww = hh * r, ww * r
+                k = (cs_plan((b, hh, ww, n)) or (0,))[0]
+                if not k:
+                    ok = False
+                    break
+            # last stage feeds the final conv directly (k=1 is always a
+            # valid packing for it; the conv kernel takes S <= 16384)
+            ok = ok and hh * ww * k <= 4096 \
+                and rs[-1] ** 2 * hh * ww * k <= 16384
+
+        if not ok:
+            y = xd
+            for i, r in enumerate(rs):
+                y = _xla_upstage(y, ws[i], bs[i], n, r, dtype)
+            wfh = w_hwio_from_cs(wf[None], n, self.channels)[0]
+            from srtpu.ops.cs_conv import conv3x3_reference
+            return conv3x3_reference(y, wfh.astype(dtype), bf)
+
+        k = plan[0]
+        hh, ww = h, w
+        y = nhwc_to_cs(xd, k)
+        for i, r in enumerate(rs):
+            y = upsample_cs(y, ws[i], bs[i], ww, k, hh, r)
+            hh, ww = hh * r, ww * r
+            if i < len(rs) - 1:
+                k_new = cs_plan((b, hh, ww, n))[0]
+                y = cs_regroup(y, k, k_new, hh, ww)
+                k = k_new
+        y = conv3x3_cs_pre(y, wf, bf, ww, k)
+        return cs_to_nhwc(y, k, hh, ww)
+
+
+def _xla_upstage(y, w_arr, b_arr, n, r, dtype):
+    """Fallback: one upscale stage via XLA conv + pixel_shuffle using the
+    CS-stored params (un-arranged on the fly)."""
+    from srtpu.ops.cs_conv import w_ps_hwio
+    dn = ('NHWC', 'HWIO', 'NHWC')
+    wh = w_ps_hwio(w_arr, n, r).astype(dtype)
+    # phase-major bias (r*r, C) -> torch ps channel order c'*r^2 + a*r + b
+    bh = jnp.transpose(b_arr, (1, 0)).reshape(-1)
+    out = jax.lax.conv_general_dilated(
+        y.astype(dtype), wh, (1, 1), 'SAME', dimension_numbers=dn)
+    return pixel_shuffle((out.astype(jnp.float32) + bh).astype(dtype), r)
+
+
 class UpscaleBlock(nn.Module):
     """Sub-pixel upscaling for scale factors {2, 3, 4, 8}.
 

@@ -12,8 +12,8 @@ from typing import Any
 
 from flax import linen as nn
 
-from .common import (Conv2d, CSTrunk, FusedResBlock, ResBlock, UpscaleBlock,
-                     mean_shift)
+from .common import (Conv2d, CSTrunk, CSUpscaleTail, FusedResBlock,
+                     ResBlock, UpscaleBlock, mean_shift)
 
 
 class EDSR(nn.Module):
@@ -38,6 +38,11 @@ class EDSR(nn.Module):
             x = CSTrunk(n_feats=self.n_feats,
                         n_resblocks=self.n_resblocks,
                         res_scale=self.res_scale, dtype=self.dtype)(x)
+            x = CSUpscaleTail(self.scale_factor, self.n_feats,
+                              self.channels, dtype=self.dtype)(x)
+            if self.channels == 3:
+                x = mean_shift(x, sign=1)
+            return x
         else:
             res = x
             for _ in range(self.n_resblocks):

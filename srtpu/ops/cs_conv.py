@@ -229,25 +229,32 @@ def conv3x3_cs_fwd(x_cs, w2, b, w_img, k, interpret=None):
 
 
 def conv3x3_cs_bwd(x_cs, g_cs, wt, w_img, k, interpret=None):
+    """Backward of the CS conv; supports c_out != c_in (rectangular).
+    g_cs (G, C_out, S); wt (3*C_in, 3*C_out) transposed-kernel CS."""
     g, c, s = x_cs.shape
+    c_out = g_cs.shape[1]
     blk = pl.BlockSpec((1, c, s), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
+    gblk = pl.BlockSpec((1, c_out, s), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    acc_w = pl.BlockSpec((3, c, 3 * c), lambda i: (0, 0, 0),
+    acc_w = pl.BlockSpec((3, c_out, 3 * c), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    acc_b = pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    acc_b = pl.BlockSpec((c_out, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_conv_bwd_kernel, w_img=w_img, wk=w_img * k),
         grid=(g,),
-        in_specs=[blk, blk, full],
+        in_specs=[blk, gblk, full],
         out_specs=(blk, acc_w, acc_b),
         out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
-                   jax.ShapeDtypeStruct((3, c, 3 * c), jnp.float32),
-                   jax.ShapeDtypeStruct((c, 1), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)] * 2,
+                   jax.ShapeDtypeStruct((3, c_out, 3 * c), jnp.float32),
+                   jax.ShapeDtypeStruct((c_out, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype),
+                        pltpu.VMEM((3 * c_out, s), x_cs.dtype)],
         interpret=_interpret(interpret),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * 9 * c * c * s * g,
+            flops=2 * 2 * 9 * c * c_out * s * g,
             bytes_accessed=3 * c * s * g * 2, transcendentals=0),
     )(x_cs, g_cs, wt)
 
@@ -289,10 +296,10 @@ def _conv_cs_pre_vjp_fwd(x_cs, w_csd, b, w_img, k):
 
 def _conv_cs_pre_vjp_bwd(w_img, k, res, g):
     x_cs, w_csd = res
-    c = w_csd.shape[0] // 3
-    wt = w_cs_T_from_cs(w_csd[None].astype(x_cs.dtype), c, c)[0]
+    c_out, c_in = w_csd.shape[0] // 3, w_csd.shape[1] // 3
+    wt = w_cs_T_from_cs(w_csd[None].astype(x_cs.dtype), c_in, c_out)[0]
     dx, dwt, db = conv3x3_cs_bwd(x_cs, g, wt, w_img, k)
-    return dx, dwt.reshape(3 * c, 3 * c), db[:, 0]
+    return dx, dwt.reshape(3 * c_out, 3 * c_in), db[:, 0]
 
 
 conv3x3_cs_pre.defvjp(_conv_cs_pre_vjp_fwd, _conv_cs_pre_vjp_bwd)
@@ -449,6 +456,203 @@ def _rb_cs_vjp_bwd(res_scale, w_img, k, res, g):
 
 
 resblock_cs.defvjp(_rb_cs_vjp_fwd, _rb_cs_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# CS-layout sub-pixel upsampler: conv(C -> r^2*C) + pixel shuffle fused
+# ---------------------------------------------------------------------------
+#
+# The NHWC tail's pixel-shuffle reshape/transposes cost ~0.7 ms/step in
+# layout copies at EDSR-baseline (profiled round 2). In CS layout the
+# shuffle is a per-row lane interleave, expressible as a tiny selection
+# matmul: fine_row(r*y+a) = [v_(a,0)_row | ... | v_(a,r-1)_row] @ EE,
+# where EE[(b*Wk + w), (r*w + b)] = 1. The conv's output channels are
+# stored phase-major ((a*r+b)*C + c') so each phase is a contiguous row
+# block; the backward de-interleaves with EE^T and runs the transposed
+# conv + dW lane-contractions in the same layout. Replaces
+# UpscaleBlock(conv+pixel_shuffle) for the CS path — reference
+# models/common.py:112-139 semantics (torch PixelShuffle channel order
+# c'*r^2 + a*r + b, absorbed into the weight arrangement).
+
+
+def w_ps_cs(w: jax.Array, r: int) -> jax.Array:
+    """HWIO (3,3,C,r*r*C) [torch ps order c'*r^2+a*r+b] ->
+    (r*r, 3C, 3C) phase-major CS arrangement."""
+    c = w.shape[2]
+    # (3,3,C, C', r, r) -> phase (a,r,b) major rows
+    v = w.reshape(3, 3, c, c, r, r)
+    v = jnp.transpose(v, (4, 5, 0, 3, 1, 2))     # a, b, dy, c', dx, cin
+    return v.reshape(r * r, 3 * c, 3 * c)
+
+
+def _ps_select(wk: int, r: int, dtype):
+    """(r*Wk, r*Wk) interleave matrix: row b*Wk+w -> column r*w+b."""
+    n = r * wk
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    b, w = rows // wk, rows % wk
+    return (cols == r * w + b).astype(dtype)
+
+
+def _ups_fwd_kernel(x_ref, w_ref, b_ref, ee_ref, out_ref, x3_ref, p_ref,
+                    *, w_img, wk, r, h_img):
+    x = x_ref[0]
+    c, s = x.shape
+    _build_x3(x, x3_ref, s, w_img)
+    x3 = x3_ref[...]
+    for ab in range(r * r):
+        p = jnp.dot(w_ref[ab], x3, preferred_element_type=jnp.float32)
+        p_ref[ab * c:(ab + 1) * c] = \
+            (_dy_reduce(p, s, wk) + b_ref[ab]).astype(x.dtype)
+    # interleave: fine row r*y+a <- phases (a, 0..r-1) of coarse row y
+    ee = ee_ref[...]
+    for y in range(h_img):
+        row = [p_ref[(a * r + b) * c:(a * r + b + 1) * c,
+                     y * wk:(y + 1) * wk]
+               for a in range(r) for b in range(r)]
+        for a in range(r):
+            v = jnp.concatenate(row[a * r:(a + 1) * r], axis=1)
+            fine = jnp.dot(v, ee, preferred_element_type=jnp.float32)
+            out_ref[0, :, (r * y + a) * r * wk:(r * y + a + 1) * r * wk] \
+                = fine.astype(out_ref.dtype)
+
+
+def _ups_bwd_kernel(x_ref, g_ref, wt_ref, ee_ref, dx_ref, dwt_ref, db_ref,
+                    s3_ref, dc_ref, *, w_img, wk, r, h_img):
+    gid = pl.program_id(0)
+    x = x_ref[0]
+    c, s = x.shape
+    ee = ee_ref[...]
+
+    @pl.when(gid == 0)
+    def _():
+        dwt_ref[...] = jnp.zeros_like(dwt_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    # de-interleave the fine cotangent back to phase-major coarse rows
+    for y in range(h_img):
+        for a in range(r):
+            fine = g_ref[0, :, (r * y + a) * r * wk:(r * y + a + 1) * r * wk]
+            v = jax.lax.dot_general(
+                fine.astype(jnp.float32), ee, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+            for b in range(r):
+                dc_ref[(a * r + b) * c:(a * r + b + 1) * c,
+                       y * wk:(y + 1) * wk] = v[:, b * wk:(b + 1) * wk]
+
+    # dx = convT(dconv); dW/db per phase chunk
+    _build_x3(x, s3_ref, s, w_img)
+    x3 = s3_ref[...]
+    for ab in range(r * r):
+        gchunk = dc_ref[ab * c:(ab + 1) * c]
+        gf = gchunk.astype(jnp.float32)
+        for dy in range(3):
+            gr = _gs_roll(gf, dy, s, wk).astype(x.dtype)
+            dwt_ref[ab, dy] += jax.lax.dot_general(
+                gr, x3, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        db_ref[ab] += jnp.sum(gf, axis=1, keepdims=True)
+    acc = jnp.zeros((c, s), jnp.float32)
+    for ab in range(r * r):
+        _build_x3(dc_ref[ab * c:(ab + 1) * c], s3_ref, s, w_img)
+        p = jnp.dot(wt_ref[ab], s3_ref[...],
+                    preferred_element_type=jnp.float32)
+        acc = acc + _dy_reduce(p, s, wk)
+    dx_ref[0] = acc.astype(dx_ref.dtype)
+
+
+def upsample_cs_fwd(x_cs, w_ps, b_ps, ee, w_img, k, h_img, r,
+                    interpret=None):
+    g, c, s = x_cs.shape
+    blk, _ = _specs(g, c, s)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    oblk = pl.BlockSpec((1, c, r * r * s), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_ups_fwd_kernel, w_img=w_img, wk=w_img * k, r=r,
+                h_img=h_img),
+        grid=(g,),
+        in_specs=[blk, full, full, full],
+        out_specs=oblk,
+        out_shape=jax.ShapeDtypeStruct((g, c, r * r * s), x_cs.dtype),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype),
+                        pltpu.VMEM((r * r * c, s), x_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * c * c * r * r * s * g,
+            bytes_accessed=(1 + r * r) * c * s * g * 2, transcendentals=0),
+    )(x_cs, w_ps, b_ps, ee)
+
+
+def upsample_cs_bwd(x_cs, g_cs, wt_ps, ee, w_img, k, h_img, r,
+                    interpret=None):
+    g, c, s = x_cs.shape
+    blk, _ = _specs(g, c, s)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    gblk = pl.BlockSpec((1, c, r * r * s), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    acc_w = pl.BlockSpec((r * r, 3, c, 3 * c), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_b = pl.BlockSpec((r * r, c, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_ups_bwd_kernel, w_img=w_img, wk=w_img * k, r=r,
+                h_img=h_img),
+        grid=(g,),
+        in_specs=[blk, gblk, full, full],
+        out_specs=(blk, acc_w, acc_b),
+        out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
+                   jax.ShapeDtypeStruct((r * r, 3, c, 3 * c), jnp.float32),
+                   jax.ShapeDtypeStruct((r * r, c, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype),
+                        pltpu.VMEM((r * r * c, s), x_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 9 * c * c * r * r * s * g,
+            bytes_accessed=2 * (1 + r * r) * c * s * g * 2,
+            transcendentals=0),
+    )(x_cs, g_cs, wt_ps, ee)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def upsample_cs(x_cs, w_ps, b_ps, w_img, k, h_img, r):
+    """Fused conv + pixel-shuffle, CS layout. w_ps: (r*r, 3C, 3C)
+    phase-major CS arrangement (w_ps_cs of the HWIO upsampler conv);
+    b_ps: (r*r, C) phase-major bias. Output is fine-resolution CS with
+    the SAME k (image width becomes r*W)."""
+    ee = _ps_select(w_img * k, r, x_cs.dtype)
+    return upsample_cs_fwd(x_cs, w_ps.astype(x_cs.dtype),
+                           b_ps.astype(jnp.float32)[..., None], ee,
+                           w_img, k, h_img, r)
+
+
+def _ups_vjp_fwd(x_cs, w_ps, b_ps, w_img, k, h_img, r):
+    return upsample_cs(x_cs, w_ps, b_ps, w_img, k, h_img, r), (x_cs, w_ps)
+
+
+def _ups_vjp_bwd(w_img, k, h_img, r, res, g):
+    x_cs, w_ps = res
+    c = w_ps.shape[1] // 3
+    wt = w_cs_T_from_cs(w_ps, c, c).astype(x_cs.dtype)   # per-phase convT
+    ee = _ps_select(w_img * k, r, x_cs.dtype)
+    dx, dwt, db = upsample_cs_bwd(x_cs, g, wt, ee, w_img, k, h_img, r)
+    return dx, dwt.reshape(r * r, 3 * c, 3 * c), db[..., 0]
+
+
+upsample_cs.defvjp(_ups_vjp_fwd, _ups_vjp_bwd)
+
+
+def cs_regroup(x_cs, k_old, k_new, h, w):
+    """Change images-per-lane-row packing (between upsample stages)."""
+    if k_old == k_new:
+        return x_cs
+    return nhwc_to_cs(cs_to_nhwc(x_cs, k_old, h, w), k_new)
+
+
+def w_ps_hwio(w_arr: jax.Array, c: int, r: int) -> jax.Array:
+    """Inverse of w_ps_cs: (r*r, 3C, 3C) -> HWIO (3, 3, C, r*r*C)."""
+    v = w_arr.reshape(r, r, 3, c, 3, c)          # a, b, dy, c', dx, cin
+    return jnp.transpose(v, (2, 4, 5, 3, 0, 1)).reshape(3, 3, c, c * r * r)
 
 
 # ---------------------------------------------------------------------------

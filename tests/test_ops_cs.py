@@ -240,6 +240,48 @@ def test_rcan_cs_matches_default():
     np.testing.assert_allclose(out_cs, out_ref, atol=1e-4)
 
 
+def test_upsample_cs_matches_conv_plus_shuffle():
+    """Fused CS conv+pixel-shuffle == XLA conv + torch-order shuffle,
+    values and gradients, for r=2 and r=3."""
+    from srtpu.models.common import pixel_shuffle
+    from srtpu.ops.cs_conv import upsample_cs, w_ps_cs, w_ps_hwio
+    rng = np.random.default_rng(21)
+    B, H, W, C = 4, 8, 8, 16
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    k, _ = cs_plan(x.shape)
+    x_cs = nhwc_to_cs(x, k)
+    for r in (2, 3):
+        wh = jnp.asarray(rng.standard_normal((3, 3, C, C * r * r)) * 0.1,
+                         jnp.float32)
+        bh = jnp.asarray(rng.standard_normal((C * r * r,)) * 0.1,
+                         jnp.float32)
+        w_arr = w_ps_cs(wh, r)
+        np.testing.assert_allclose(w_ps_hwio(w_arr, C, r), wh)  # roundtrip
+        # phase-major bias: phase (a*r+b), channel c'
+        b_arr = bh.reshape(C, r * r).T
+
+        def f_cs(a):
+            w_, b_ = a
+            y = upsample_cs(x_cs, w_, b_, W, k, H, r)
+            return y
+
+        def f_ref(a):
+            w_, b_ = a
+            out = conv3x3_reference(x, w_ps_hwio(w_, C, r),
+                                    jnp.transpose(b_, (1, 0)).reshape(-1))
+            return nhwc_to_cs(pixel_shuffle(out, r), k)
+
+        args = (w_arr, b_arr)
+        y_cs = f_cs(args)
+        y_rf = f_ref(args)
+        np.testing.assert_allclose(y_cs, y_rf, atol=1e-4, err_msg=f'r={r}')
+
+        g_cs = jax.grad(lambda a: jnp.sum(jnp.sin(f_cs(a))))(args)
+        g_rf = jax.grad(lambda a: jnp.sum(jnp.sin(f_ref(a))))(args)
+        for a, b in zip(g_cs, g_rf):
+            np.testing.assert_allclose(a, b, atol=2e-3, err_msg=f'r={r}')
+
+
 def test_cs_plan_fallbacks():
     assert cs_plan((16, 32, 32, 64)) == (4, 4)       # flagship shape
     assert cs_plan((1, 200, 200, 64)) is None        # too big for VMEM
@@ -275,9 +317,16 @@ def test_edsr_cs_matches_default():
     trunk['close_kernel'] = pr['Conv2d_1']['kernel']
     trunk['close_bias'] = pr['Conv2d_1']['bias']
     pc['params']['Conv2d_0'] = pr['Conv2d_0']
-    pc['params']['UpscaleBlock_0'] = pr['UpscaleBlock_0']
-    pc['params']['Conv2d_1'] = pr['Conv2d_2'] if 'Conv2d_2' in pr \
-        else pr['Conv2d_1']
+    # tail: UpscaleBlock conv -> phase-major CS; final conv -> CS
+    from srtpu.ops.cs_conv import w_cs as _w_cs
+    from srtpu.ops.cs_conv import w_ps_cs
+    tail = pc['params']['CSUpscaleTail_0']
+    up = pr['UpscaleBlock_0']['Conv2d_0']
+    tail['up0_kernel'] = w_ps_cs(up['kernel'], 2)
+    tail['up0_bias'] = up['bias'].reshape(16, 4).T
+    fin = pr['Conv2d_2']
+    tail['final_kernel'] = _w_cs(fin['kernel'])
+    tail['final_bias'] = fin['bias']
 
     out_ref = m_ref.apply(p_ref, x)
     out_cs = m_cs.apply(pc, x)
