@@ -517,35 +517,35 @@ def _ups_fwd_kernel(x_ref, w_ref, b_ref, ee_ref, out_ref, x3_ref, p_ref,
                 = fine.astype(out_ref.dtype)
 
 
-def _ups_bwd_kernel(x_ref, g_ref, wt_ref, ee_ref, dx_ref, dwt_ref, db_ref,
-                    s3_ref, dc_ref, *, w_img, wk, r, h_img):
+def _ups_deint_kernel(g_ref, ee_ref, dc_ref, *, wk, r, h_img, c):
+    """Fine cotangent -> phase-major coarse dconv (selection matmuls)."""
+    ee = ee_ref[...]
+    for y in range(h_img):
+        for a in range(r):
+            fine = g_ref[0, :, (r * y + a) * r * wk:(r * y + a + 1) * r * wk]
+            v = jax.lax.dot_general(
+                fine.astype(jnp.float32), ee, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(fine.dtype)
+            for b in range(r):
+                dc_ref[0, (a * r + b) * c:(a * r + b + 1) * c,
+                       y * wk:(y + 1) * wk] = v[:, b * wk:(b + 1) * wk]
+
+
+def _ups_conv_bwd_kernel(x_ref, dc_ref, wt_ref, dx_ref, dwt_ref, db_ref,
+                         s3_ref, *, w_img, wk, r):
     gid = pl.program_id(0)
     x = x_ref[0]
     c, s = x.shape
-    ee = ee_ref[...]
 
     @pl.when(gid == 0)
     def _():
         dwt_ref[...] = jnp.zeros_like(dwt_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    # de-interleave the fine cotangent back to phase-major coarse rows
-    for y in range(h_img):
-        for a in range(r):
-            fine = g_ref[0, :, (r * y + a) * r * wk:(r * y + a + 1) * r * wk]
-            v = jax.lax.dot_general(
-                fine.astype(jnp.float32), ee, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(x.dtype)
-            for b in range(r):
-                dc_ref[(a * r + b) * c:(a * r + b + 1) * c,
-                       y * wk:(y + 1) * wk] = v[:, b * wk:(b + 1) * wk]
-
-    # dx = convT(dconv); dW/db per phase chunk
     _build_x3(x, s3_ref, s, w_img)
     x3 = s3_ref[...]
     for ab in range(r * r):
-        gchunk = dc_ref[ab * c:(ab + 1) * c]
-        gf = gchunk.astype(jnp.float32)
+        gf = dc_ref[0, ab * c:(ab + 1) * c].astype(jnp.float32)
         for dy in range(3):
             gr = _gs_roll(gf, dy, s, wk).astype(x.dtype)
             dwt_ref[ab, dy] += jax.lax.dot_general(
@@ -554,7 +554,7 @@ def _ups_bwd_kernel(x_ref, g_ref, wt_ref, ee_ref, dx_ref, dwt_ref, db_ref,
         db_ref[ab] += jnp.sum(gf, axis=1, keepdims=True)
     acc = jnp.zeros((c, s), jnp.float32)
     for ab in range(r * r):
-        _build_x3(dc_ref[ab * c:(ab + 1) * c], s3_ref, s, w_img)
+        _build_x3(dc_ref[0, ab * c:(ab + 1) * c], s3_ref, s, w_img)
         p = jnp.dot(wt_ref[ab], s3_ref[...],
                     preferred_element_type=jnp.float32)
         acc = acc + _dy_reduce(p, s, wk)
@@ -586,32 +586,47 @@ def upsample_cs_fwd(x_cs, w_ps, b_ps, ee, w_img, k, h_img, r,
 
 def upsample_cs_bwd(x_cs, g_cs, wt_ps, ee, w_img, k, h_img, r,
                     interpret=None):
+    """Two kernels (de-interleave, then conv bwd): the fused variant sat
+    at the 16 MB scoped-VMEM edge at S=4096 and failed to compile in some
+    surrounding-layout configurations."""
     g, c, s = x_cs.shape
     blk, _ = _specs(g, c, s)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     gblk = pl.BlockSpec((1, c, r * r * s), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    dcblk = pl.BlockSpec((1, r * r * c, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     acc_w = pl.BlockSpec((r * r, 3, c, 3 * c), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     acc_b = pl.BlockSpec((r * r, c, 1), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        partial(_ups_bwd_kernel, w_img=w_img, wk=w_img * k, r=r,
-                h_img=h_img),
+    interp = _interpret(interpret)
+    dconv = pl.pallas_call(
+        partial(_ups_deint_kernel, wk=w_img * k, r=r, h_img=h_img, c=c),
         grid=(g,),
-        in_specs=[blk, gblk, full, full],
+        in_specs=[gblk, full],
+        out_specs=dcblk,
+        out_shape=jax.ShapeDtypeStruct((g, r * r * c, s), x_cs.dtype),
+        interpret=interp,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * c * (r * r * s) * (r * w_img * k) * g,
+            bytes_accessed=2 * r * r * c * s * g * 2, transcendentals=0),
+    )(g_cs, ee)
+    return pl.pallas_call(
+        partial(_ups_conv_bwd_kernel, w_img=w_img, wk=w_img * k, r=r),
+        grid=(g,),
+        in_specs=[blk, dcblk, full],
         out_specs=(blk, acc_w, acc_b),
         out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
                    jax.ShapeDtypeStruct((r * r, 3, c, 3 * c), jnp.float32),
                    jax.ShapeDtypeStruct((r * r, c, 1), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype),
-                        pltpu.VMEM((r * r * c, s), x_cs.dtype)],
-        interpret=_interpret(interpret),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)],
+        interpret=interp,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * 9 * c * c * r * r * s * g,
             bytes_accessed=2 * (1 + r * r) * c * s * g * 2,
             transcendentals=0),
-    )(x_cs, g_cs, wt_ps, ee)
+    )(x_cs, dconv, wt_ps)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
