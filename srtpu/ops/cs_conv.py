@@ -504,31 +504,46 @@ def _ups_fwd_kernel(x_ref, w_ref, b_ref, ee_ref, out_ref, x3_ref, p_ref,
         p = jnp.dot(w_ref[ab], x3, preferred_element_type=jnp.float32)
         p_ref[ab * c:(ab + 1) * c] = \
             (_dy_reduce(p, s, wk) + b_ref[ab]).astype(x.dtype)
-    # interleave: fine row r*y+a <- phases (a, 0..r-1) of coarse row y
+    # interleave: fine row r*y+a <- phases (a, 0..r-1) of coarse row y.
+    # YB coarse rows are sublane-stacked into ONE selection matmul — the
+    # per-row variant was M=64 per dot (pipeline-drain bound) and made
+    # the unrolled loop 4x longer to compile.
     ee = ee_ref[...]
-    for y in range(h_img):
-        row = [p_ref[(a * r + b) * c:(a * r + b + 1) * c,
-                     y * wk:(y + 1) * wk]
-               for a in range(r) for b in range(r)]
-        for a in range(r):
-            v = jnp.concatenate(row[a * r:(a + 1) * r], axis=1)
-            fine = jnp.dot(v, ee, preferred_element_type=jnp.float32)
-            out_ref[0, :, (r * y + a) * r * wk:(r * y + a + 1) * r * wk] \
-                = fine.astype(out_ref.dtype)
+    yb = 4 if h_img % 4 == 0 else 1
+    for y0 in range(0, h_img, yb):
+        pieces = []
+        for y in range(y0, y0 + yb):
+            for a in range(r):
+                pieces.append(jnp.concatenate(
+                    [p_ref[(a * r + b) * c:(a * r + b + 1) * c,
+                           y * wk:(y + 1) * wk] for b in range(r)],
+                    axis=1))
+        fine = jnp.dot(jnp.concatenate(pieces, axis=0), ee,
+                       preferred_element_type=jnp.float32)
+        for i in range(yb * r):
+            start = (r * y0 + i) * r * wk
+            out_ref[0, :, start:start + r * wk] \
+                = fine[i * c:(i + 1) * c].astype(out_ref.dtype)
 
 
 def _ups_deint_kernel(g_ref, ee_ref, dc_ref, *, wk, r, h_img, c):
-    """Fine cotangent -> phase-major coarse dconv (selection matmuls)."""
+    """Fine cotangent -> phase-major coarse dconv (selection matmuls,
+    YB fine-row batches sublane-stacked like the forward)."""
     ee = ee_ref[...]
-    for y in range(h_img):
-        for a in range(r):
-            fine = g_ref[0, :, (r * y + a) * r * wk:(r * y + a + 1) * r * wk]
-            v = jax.lax.dot_general(
-                fine.astype(jnp.float32), ee, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(fine.dtype)
+    yb = 4 if h_img % 4 == 0 else 1
+    for y0 in range(0, h_img, yb):
+        fine = jnp.concatenate(
+            [g_ref[0, :, (r * y0 + i) * r * wk:(r * y0 + i + 1) * r * wk]
+             for i in range(yb * r)], axis=0)
+        v = jax.lax.dot_general(
+            fine.astype(jnp.float32), ee, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dc_ref.dtype)
+        for i in range(yb * r):
+            y, a = y0 + i // r, i % r
             for b in range(r):
                 dc_ref[0, (a * r + b) * c:(a * r + b + 1) * c,
-                       y * wk:(y + 1) * wk] = v[:, b * wk:(b + 1) * wk]
+                       y * wk:(y + 1) * wk] = \
+                    v[i * c:(i + 1) * c, b * wk:(b + 1) * wk]
 
 
 def _ups_conv_bwd_kernel(x_ref, dc_ref, wt_ref, dx_ref, dwt_ref, db_ref,
