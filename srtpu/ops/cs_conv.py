@@ -50,7 +50,15 @@ def cs_plan(shape: tuple[int, ...]) -> tuple[int, int] | None:
 
     k = images per lane-row, G = B // k kernel groups. Requires B % k == 0
     and the per-group working set to fit VMEM (S = H*W*k <= S_MAX).
+
+    Off-TPU the plan is None (models fall back to XLA convs — correct and
+    fast on CPU, unlike interpret-mode kernels) unless SRTPU_CS_OFF_TPU=1
+    (set by the test suite to exercise the kernels in interpret mode).
     """
+    import os
+    if jax.default_backend() != 'tpu' \
+            and os.environ.get('SRTPU_CS_OFF_TPU') != '1':
+        return None
     b, h, w, c = shape
     if c % 16 or h < 2 or w < 2:
         return None

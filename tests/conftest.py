@@ -8,6 +8,9 @@ single-device CPU. Must run before jax is imported anywhere.
 import os
 
 os.environ['JAX_PLATFORMS'] = 'cpu'
+# exercise the CS Pallas kernels in interpret mode (product code keeps
+# them TPU-only; CPU users get the XLA fallback instead)
+os.environ['SRTPU_CS_OFF_TPU'] = '1'
 _flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
