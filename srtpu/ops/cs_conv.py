@@ -56,17 +56,24 @@ def cs_plan(shape: tuple[int, ...]) -> tuple[int, int] | None:
     (set by the test suite to exercise the kernels in interpret mode).
     """
     import os
+    return cs_plan_s(shape, S_TARGET, S_MAX)
+
+
+def cs_plan_s(shape, s_target, s_max):
+    """cs_plan with explicit lane budget (RDN's wide dense layers use a
+    smaller S so the (3*c_in, S) im2col stacks fit VMEM)."""
+    import os
     if jax.default_backend() != 'tpu' \
             and os.environ.get('SRTPU_CS_OFF_TPU') != '1':
         return None
     b, h, w, c = shape
     if c % 16 or h < 2 or w < 2:
         return None
-    k = max(1, S_TARGET // (h * w))
+    k = max(1, s_target // (h * w))
     k = min(k, b)
     while k > 1 and b % k:
         k -= 1
-    if b % k or h * w * k > S_MAX:
+    if b % k or h * w * k > s_max:
         return None
     return k, b // k
 
@@ -164,28 +171,47 @@ def _gs_roll(gf, dy, s, wk):
 # ---------------------------------------------------------------------------
 
 
-def _conv_fwd_kernel(x_ref, w_ref, b_ref, out_ref, x3_ref, *, w_img, wk):
+def _conv_fwd_kernel(x_ref, w_ref, b_ref, out_ref, x3_ref, *, w_img, wk,
+                     stk=False, relu=False):
     x = x_ref[0]
     c, s = x.shape
     _build_x3(x, x3_ref, s, w_img)
-    p = jnp.dot(w_ref[...], x3_ref[...], preferred_element_type=jnp.float32)
-    out_ref[0] = (_dy_reduce(p, s, wk) + b_ref[...]).astype(out_ref.dtype)
+    w = w_ref[0] if stk else w_ref[...]
+    b = b_ref[0] if stk else b_ref[...]
+    p = jnp.dot(w, x3_ref[...], preferred_element_type=jnp.float32)
+    out = _dy_reduce(p, s, wk) + b
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _conv_bwd_kernel(x_ref, g_ref, wt_ref, dx_ref, dwt_ref, db_ref,
-                     x3_ref, g3_ref, *, w_img, wk):
+                     x3_ref, g3_ref, *, w_img, wk, stk=False):
     gid = pl.program_id(0)
     x = x_ref[0]
     g = g_ref[0]
     c, s = x.shape
+    wt = wt_ref[0] if stk else wt_ref[...]
 
-    # dx = convT(g)
+    # dx = convT(g). For wide c_in (RDN dense layers) the (3*c_in, S) f32
+    # partial-sum array would blow VMEM — chunk c_in into 64-row groups
+    # (wt rows are (dy, c_in)-ordered, so a chunk is three row slices).
     _build_x3(g, g3_ref, s, w_img)
-    p = jnp.dot(wt_ref[...], g3_ref[...], preferred_element_type=jnp.float32)
-    dx_ref[0] = _dy_reduce(p, s, wk).astype(dx_ref.dtype)
+    g3 = g3_ref[...]
+    if c <= 128:
+        p = jnp.dot(wt, g3, preferred_element_type=jnp.float32)
+        dx_ref[0] = _dy_reduce(p, s, wk).astype(dx_ref.dtype)
+    else:
+        assert c % 64 == 0
+        for j in range(c // 64):
+            wt_j = jnp.concatenate(
+                [wt[dy * c + j * 64:dy * c + (j + 1) * 64] for dy in range(3)],
+                axis=0)
+            p = jnp.dot(wt_j, g3, preferred_element_type=jnp.float32)
+            dx_ref[0, j * 64:(j + 1) * 64] = \
+                _dy_reduce(p, s, wk).astype(dx_ref.dtype)
 
     # dW[dy, c_out, (dx, c_in)] = roll(g, dy) @ X3^T   (K = S, full lanes)
-    _build_x3(x, x3_ref, s, w_img)
     gf = g.astype(jnp.float32)
 
     @pl.when(gid == 0)
@@ -193,12 +219,27 @@ def _conv_bwd_kernel(x_ref, g_ref, wt_ref, dx_ref, dwt_ref, db_ref,
         dwt_ref[...] = jnp.zeros_like(dwt_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    x3 = x3_ref[...]
-    for dy in range(3):
-        gr = _gs_roll(gf, dy, s, wk).astype(x.dtype)
-        dwt_ref[dy] += jax.lax.dot_general(
-            gr, x3, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    grs = [_gs_roll(gf, dy, s, wk).astype(x.dtype) for dy in range(3)]
+    if c <= 128:
+        _build_x3(x, x3_ref, s, w_img)
+        x3 = x3_ref[...]
+        for dy in range(3):
+            dwt_ref[dy] += jax.lax.dot_general(
+                grs[dy], x3, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    else:
+        # wide c_in: per-64-channel chunks, small (192, S) im2col scratch
+        # (the x3_ref scratch is allocated at chunk size in this mode)
+        for j in range(c // 64):
+            _build_x3(x[j * 64:(j + 1) * 64], x3_ref, s, w_img)
+            x3j = x3_ref[...]
+            for dy in range(3):
+                dw = jax.lax.dot_general(
+                    grs[dy], x3j, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (c_out, 192)
+                for dxx in range(3):
+                    dwt_ref[dy, :, dxx * c + j * 64:dxx * c + (j + 1) * 64] \
+                        += dw[:, dxx * 64:(dxx + 1) * 64]
     db_ref[...] += jnp.sum(gf, axis=1, keepdims=True)
 
 
@@ -258,7 +299,8 @@ def conv3x3_cs_bwd(x_cs, g_cs, wt, w_img, k, interpret=None):
         out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
                    jax.ShapeDtypeStruct((3, c_out, 3 * c), jnp.float32),
                    jax.ShapeDtypeStruct((c_out, 1), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype),
+        scratch_shapes=[pltpu.VMEM((3 * min(c, 64 if c > 128 else c), s),
+                                   x_cs.dtype),
                         pltpu.VMEM((3 * c_out, s), x_cs.dtype)],
         interpret=_interpret(interpret),
         cost_estimate=pl.CostEstimate(
@@ -907,6 +949,154 @@ def _trunk_vjp_bwd(res_scale, w_img, k, res, g):
 
 
 trunk_cs.defvjp(_trunk_vjp_fwd, _trunk_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# RDN residual dense blocks in CS layout
+# ---------------------------------------------------------------------------
+#
+# RDN-B's dense layers are convs (64*(i+1) -> 64): N=64 half-idles XLA's
+# lanes while K grows to 1536 — ideal for the transposed layout (K util
+# 90-100%). The trunk-level custom VJP below runs every dense conv as a
+# CS kernel with per-layer-index weight stacks (uniform shapes across the
+# D blocks, DMA-sliced via BlockSpec index maps); concats, ReLU masks and
+# the 1x1 local fusions stay XLA (they are matmuls/copies, lane-friendly).
+# Reference: models/rdn.py:27-45.
+
+
+def conv3x3_cs_fwd_stk(x_cs, ws, bs, l, w_img, k, relu=False,
+                       interpret=None):
+    """Single CS conv with stacked weights: ws (D, 3C_out, 3C_in),
+    bs (D, C_out, 1); block ``l`` is DMA'd via the index map."""
+    g, c, s = x_cs.shape
+    c_out = ws.shape[1] // 3
+    blk = pl.BlockSpec((1, c, s), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    oblk = pl.BlockSpec((1, c_out, s), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_conv_fwd_kernel, w_img=w_img, wk=w_img * k, stk=True,
+                relu=relu),
+        grid=(g,),
+        in_specs=[blk, _stk(l, ws.shape[1:]), _stk(l, bs.shape[1:])],
+        out_specs=oblk,
+        out_shape=jax.ShapeDtypeStruct((g, c_out, s), x_cs.dtype),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * c * c_out * s * g,
+            bytes_accessed=(c + c_out) * s * g * 2, transcendentals=0),
+    )(x_cs, ws, bs)
+
+
+def conv3x3_cs_bwd_stk(x_cs, g_cs, wts, l, w_img, k, interpret=None):
+    """Backward of the stacked CS conv: wts (D, 3C_in, 3C_out)."""
+    g, c, s = x_cs.shape
+    c_out = g_cs.shape[1]
+    blk = pl.BlockSpec((1, c, s), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    gblk = pl.BlockSpec((1, c_out, s), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    acc_w = pl.BlockSpec((3, c_out, 3 * c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_b = pl.BlockSpec((c_out, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_conv_bwd_kernel, w_img=w_img, wk=w_img * k, stk=True),
+        grid=(g,),
+        in_specs=[blk, gblk, _stk(l, wts.shape[1:])],
+        out_specs=(blk, acc_w, acc_b),
+        out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
+                   jax.ShapeDtypeStruct((3, c_out, 3 * c), jnp.float32),
+                   jax.ShapeDtypeStruct((c_out, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((3 * min(c, 64 if c > 128 else c), s),
+                                   x_cs.dtype),
+                        pltpu.VMEM((3 * c_out, s), x_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 9 * c * c_out * s * g,
+            bytes_accessed=3 * c * s * g * 2, transcendentals=0),
+    )(x_cs, g_cs, wts)
+
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def rdn_trunk_cs(x_cs, ws, bs, wfs, bfs, w_img, k):
+    """D residual dense blocks, CS layout. ws: tuple of C arrays, ws[i]
+    shape (D, 3G, 3*(G0+i*G)) CS-arranged; bs: tuple of C (D, G); wfs
+    (D, G0, G0+C*G) 1x1 local-fusion weights; bfs (D, G0).
+    Returns the tuple of D block outputs (for the global fusion)."""
+    outs, *_ = _rdn_fwd(x_cs, ws, bs, wfs, bfs, w_img, k)
+    return outs
+
+
+def _rdn_fwd(x_cs, ws, bs, wfs, bfs, w_img, k):
+    dt = x_cs.dtype
+    d_blocks = ws[0].shape[0]
+    wsd = [w.astype(dt) for w in ws]
+    bsd = [b.astype(jnp.float32)[..., None] for b in bs]
+    wfd = wfs.astype(dt)
+    outs, bufs = [], []
+    x = x_cs
+    for l in range(d_blocks):
+        buf = x
+        for i in range(len(ws)):
+            o = conv3x3_cs_fwd_stk(buf, wsd[i], bsd[i], l, w_img, k,
+                                   relu=True)
+            buf = jnp.concatenate([buf, o], axis=1)
+        fused = jnp.einsum('oc,gcs->gos', wfd[l], buf) \
+            + bfs[l].astype(jnp.float32)[:, None].astype(dt)
+        x = fused + x
+        bufs.append(buf)
+        outs.append(x)
+    return tuple(outs), tuple(bufs), wsd, wfd
+
+
+def _rdn_vjp_fwd(x_cs, ws, bs, wfs, bfs, w_img, k):
+    outs, bufs, wsd, wfd = _rdn_fwd(x_cs, ws, bs, wfs, bfs, w_img, k)
+    return outs, (bufs, wsd, wfd)
+
+
+def _rdn_vjp_bwd(w_img, k, res, cts):
+    bufs, wsd, wfd = res
+    dt = bufs[0].dtype
+    d_blocks = len(bufs)
+    n_layers = len(wsd)
+    g0 = wfd.shape[1]
+    # transposed kernels, one batched arrangement per layer index (XLA
+    # CSE dedups these across nothing here — computed once)
+    wts = [w_cs_T_from_cs(w, (w.shape[2] // 3), w.shape[1] // 3)
+           for w in wsd]
+    dW = [[None] * d_blocks for _ in range(n_layers)]
+    dB = [[None] * d_blocks for _ in range(n_layers)]
+    dWF = [None] * d_blocks
+    dBF = [None] * d_blocks
+    g = jnp.zeros_like(bufs[0][:, :g0])
+    for l in reversed(range(d_blocks)):
+        g = (g + cts[l]).astype(dt)     # chain + direct (global fusion)
+        buf = bufs[l]
+        gf = g.astype(jnp.float32)
+        buff = buf.astype(jnp.float32)
+        dWF[l] = jnp.einsum('gos,gcs->oc', gf, buff)
+        dBF[l] = jnp.sum(gf, axis=(0, 2))
+        dbuf = jnp.einsum('oc,gos->gcs', wfd[l], g)
+        for i in reversed(range(n_layers)):
+            lo, hi = g0 * (i + 1), g0 * (i + 2)
+            do = jnp.where(buff[:, lo:hi] > 0, dbuf[:, lo:hi], 0) \
+                .astype(dt)
+            dxp, dwt, db = conv3x3_cs_bwd_stk(
+                buf[:, :lo].astype(dt), do, wts[i], l, w_img, k)
+            dbuf = dbuf.at[:, :lo].add(dxp)
+            dW[i][l] = dwt.reshape(3 * g0, 3 * (i + 1) * g0)
+            dB[i][l] = db[:, 0]
+        # dx of the block: dense-chain into rows [0:g0] plus the RDB skip
+        g = dbuf[:, :g0] + g
+    dws = tuple(jnp.stack(dW[i]) for i in range(n_layers))
+    dbs = tuple(jnp.stack(dB[i]) for i in range(n_layers))
+    return (g, dws, dbs, jnp.stack(dWF), jnp.stack(dBF))
+
+
+rdn_trunk_cs.defvjp(_rdn_vjp_fwd, _rdn_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------

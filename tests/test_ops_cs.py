@@ -282,6 +282,135 @@ def test_upsample_cs_matches_conv_plus_shuffle():
             np.testing.assert_allclose(a, b, atol=2e-3, err_msg=f'r={r}')
 
 
+def test_rdn_trunk_cs_matches_xla(data):
+    """RDN dense blocks (CS kernels, trunk-level VJP) vs plain XLA math:
+    values and every gradient."""
+    from srtpu.ops.cs_conv import (conv3x3_reference, rdn_trunk_cs,
+                                   w_cs_batch, w_hwio_from_cs)
+    rng = np.random.default_rng(31)
+    B, H, W = 4, 8, 8
+    G0, C, D = 16, 3, 2
+    x = jnp.asarray(rng.standard_normal((B, H, W, G0)), jnp.float32)
+    k, _ = cs_plan(x.shape)
+    x_cs = nhwc_to_cs(x, k)
+
+    def mk(*shape, s=0.1):
+        return jnp.asarray(rng.standard_normal(shape) * s, jnp.float32)
+
+    ws = tuple(w_cs_batch(mk(D, 3, 3, G0 * (i + 1), G0))
+               for i in range(C))
+    bs = tuple(mk(D, G0) for _ in range(C))
+    wfs = mk(D, G0, G0 * (C + 1))
+    bfs = mk(D, G0)
+    args = (x_cs, ws, bs, wfs, bfs)
+
+    def f_cs(a):
+        outs = rdn_trunk_cs(a[0], a[1], a[2], a[3], a[4], W, k)
+        return sum(jnp.sum(jnp.sin(o * (j + 1))) for j, o in enumerate(outs))
+
+    def f_ref(a):
+        xc, ws_, bs_, wfs_, bfs_ = a
+        xn = cs_to_nhwc(xc, k, H, W)
+        whs = [w_hwio_from_cs(ws_[i], G0 * (i + 1), G0) for i in range(C)]
+        acc, xcur = 0.0, xn
+        for l in range(D):
+            feats = xcur
+            for i in range(C):
+                o = conv3x3_reference(feats, whs[i][l], bs_[i][l])
+                feats = jnp.concatenate([feats, jnp.maximum(o, 0)], axis=-1)
+            fused = jnp.einsum('bhwc,oc->bhwo', feats, wfs_[l]) + bfs_[l]
+            xcur = fused + xcur
+            acc = acc + jnp.sum(jnp.sin(nhwc_to_cs(xcur, k) * (l + 1)))
+        return acc
+
+    np.testing.assert_allclose(f_cs(args), f_ref(args), rtol=1e-4)
+    g_cs = jax.grad(f_cs)(args)
+    g_rf = jax.grad(f_ref)(args)
+    flat_cs = jax.tree_util.tree_leaves(g_cs)
+    flat_rf = jax.tree_util.tree_leaves(g_rf)
+    assert len(flat_cs) == len(flat_rf)
+    for a, b in zip(flat_cs, flat_rf):
+        np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_wide_cin_conv_bwd_chunked():
+    """Rectangular conv backward with c_in>128 (the chunked convT/dW path
+    used by RDN-B's wide dense layers) matches XLA gradients."""
+    from srtpu.ops.cs_conv import conv3x3_cs_pre, w_cs
+    rng = np.random.default_rng(41)
+    B, H, W, CI, CO = 2, 8, 8, 192, 16
+    x = jnp.asarray(rng.standard_normal((B, H, W, CI)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, CI, CO)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((CO,)) * 0.1, jnp.float32)
+    k, _ = cs_plan((B, H, W, 16))
+    x_cs = nhwc_to_cs(x, k)
+
+    def f_cs(a):
+        return jnp.sum(jnp.sin(conv3x3_cs_pre(x_cs if a[2] is None else a[2],
+                                              w_cs(a[0]), a[1], W, k)))
+
+    def f_ref(a):
+        return jnp.sum(jnp.sin(nhwc_to_cs(
+            conv3x3_reference(x, a[0], a[1]), k)))
+
+    np.testing.assert_allclose(f_cs((w, b, None)), f_ref((w, b)), rtol=1e-4)
+    g_cs = jax.grad(lambda a: f_cs((a[0], a[1], a[2])))((w, b, x_cs))
+    g_rf = jax.grad(lambda a: f_ref(a))((w, b))
+    np.testing.assert_allclose(g_cs[0], g_rf[0], atol=2e-3)
+    np.testing.assert_allclose(g_cs[1], g_rf[1], atol=2e-3)
+    # dx through the chunked convT
+    gx = jax.grad(lambda xc: jnp.sum(jnp.sin(
+        conv3x3_cs_pre(xc, w_cs(w), b, W, k))))(x_cs)
+    gx_ref = jax.grad(lambda xn: jnp.sum(jnp.sin(nhwc_to_cs(
+        conv3x3_reference(xn, w, b), k))))(x)
+    np.testing.assert_allclose(gx, nhwc_to_cs(gx_ref, k), atol=2e-3)
+
+
+def test_rdn_cs_matches_default(monkeypatch):
+    """RDN(use_pallas='cs') == RDN(default) given identical params."""
+    import srtpu.models.rdn as rdn_mod
+    from srtpu.models import create_model
+    from srtpu.ops.cs_conv import w_cs, w_cs_batch
+    monkeypatch.setitem(rdn_mod.RDN_CONFIGS, 'T', (2, 2, 16))
+    rng = np.random.default_rng(33)
+    x = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32)
+    kw = dict(scale_factor=2, rdn_config='T', growth0=16)
+    m_ref = create_model('RDN', **kw)
+    m_cs = create_model('RDN', use_pallas='cs', **kw)
+    p_ref = m_ref.init(jax.random.PRNGKey(0), x)
+    p_cs = m_cs.init(jax.random.PRNGKey(0), x)
+    pr = p_ref['params']
+    pc = jax.tree_util.tree_map(lambda v: v, p_cs)
+    cp = pc['params']
+
+    cp['Conv2d_0'] = pr['Conv2d_0']                       # f1 / SFE1
+    cp['sfe2_kernel'] = w_cs(pr['Conv2d_1']['kernel'])
+    cp['sfe2_bias'] = pr['Conv2d_1']['bias']
+    D, C, G = 2, 2, 16
+    for i in range(C):
+        cp[f'dense{i}_kernel'] = w_cs_batch(jnp.stack(
+            [pr[f'_RDB_{l}'][f'Conv2d_{i}']['kernel'] for l in range(D)]))
+        cp[f'dense{i}_bias'] = jnp.stack(
+            [pr[f'_RDB_{l}'][f'Conv2d_{i}']['bias'] for l in range(D)])
+    cp['lff_kernel'] = jnp.stack(
+        [pr[f'_RDB_{l}'][f'Conv2d_{C}']['kernel'][0, 0].T
+         for l in range(D)])
+    cp['lff_bias'] = jnp.stack(
+        [pr[f'_RDB_{l}'][f'Conv2d_{C}']['bias'] for l in range(D)])
+    cp['gff1_kernel'] = pr['Conv2d_2']['kernel'][0, 0].T
+    cp['gff1_bias'] = pr['Conv2d_2']['bias']
+    cp['gff2_kernel'] = w_cs(pr['Conv2d_3']['kernel'])
+    cp['gff2_bias'] = pr['Conv2d_3']['bias']
+    # tail convs: same module order in both branches after the trunk
+    for nc, nr in [('Conv2d_1', 'Conv2d_4'), ('Conv2d_2', 'Conv2d_5')]:
+        if nr in pr:
+            cp[nc] = pr[nr]
+
+    out_ref = m_ref.apply(p_ref, x)
+    out_cs = m_cs.apply(pc, x)
+    np.testing.assert_allclose(out_cs, out_ref, atol=1e-4)
+
+
 def test_cs_plan_fallbacks():
     assert cs_plan((16, 32, 32, 64)) == (4, 4)       # flagship shape
     assert cs_plan((1, 200, 200, 64)) is None        # too big for VMEM
