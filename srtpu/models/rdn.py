@@ -106,7 +106,7 @@ class RDN(nn.Module):
         from .common import torch_uniform_init
         from srtpu.ops.cs_conv import (conv3x3_cs_pre, cs_plan_s,
                                        cs_to_nhwc, nhwc_to_cs,
-                                       rdn_trunk_cs, w_hwio_from_cs)
+                                       rdn_trunk_cs)
 
         def u(bound, shape, name):
             return self.param(name, torch_uniform_init(bound), shape)
