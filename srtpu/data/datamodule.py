@@ -17,6 +17,8 @@ from __future__ import annotations
 import logging
 from pathlib import Path
 
+from srtpu.utils.logging import PRINT
+
 from .pipeline import EvalLoader, TrainLoader
 from .sources import (HF_DATASET_NAMES, ConcatSource, HuggingFaceSource,
                       ImageFolderSource, NpySource)
@@ -131,10 +133,20 @@ class SRData:
         (reference predict.py semantics), or the eval-style
         ``<name>/LR/X{scale}`` / ``<name>/LR`` sub-layout when present."""
         base = self._datasets_dir / name
-        for sub in (base / 'LR' / f'X{self._scale}', base / 'LR',
-                    base / 'HR'):
+        for sub in (base / 'LR' / f'X{self._scale}', base / 'LR'):
             if sub.is_dir():
                 return sub
+        if (base / 'HR').is_dir():
+            # last resort for eval-layout dirs with no LR set; the model
+            # will upscale the HR images x{scale} — almost never what the
+            # user wants, so say it loudly (reference predict.py only ever
+            # reads a flat LR folder)
+            _logger.log(
+                PRINT,
+                'predict dataset %s has no LR images (%s); falling back to '
+                'the HR folder — outputs will be HR x%d UPSCALES, not '
+                'super-resolved LR images', name, base / 'LR', self._scale)
+            return base / 'HR'
         return base
 
     # -- loaders --------------------------------------------------------------

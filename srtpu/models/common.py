@@ -417,7 +417,7 @@ class CSUpscaleTail(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         from srtpu.ops.cs_conv import (conv3x3_cs_pre, cs_plan, cs_regroup,
                                        cs_to_nhwc, nhwc_to_cs, upsample_cs,
-                                       w_hwio_from_cs, w_ps_hwio)
+                                       w_hwio_from_cs)
         n = self.n_feats
         assert self.scale_factor in (2, 3, 4, 8)
         rs = [3] if self.scale_factor == 3 else \

@@ -50,18 +50,18 @@ def cs_plan(shape: tuple[int, ...]) -> tuple[int, int] | None:
 
     k = images per lane-row, G = B // k kernel groups. Requires B % k == 0
     and the per-group working set to fit VMEM (S = H*W*k <= S_MAX).
-
-    Off-TPU the plan is None (models fall back to XLA convs — correct and
-    fast on CPU, unlike interpret-mode kernels) unless SRTPU_CS_OFF_TPU=1
-    (set by the test suite to exercise the kernels in interpret mode).
     """
-    import os
     return cs_plan_s(shape, S_TARGET, S_MAX)
 
 
 def cs_plan_s(shape, s_target, s_max):
     """cs_plan with explicit lane budget (RDN's wide dense layers use a
-    smaller S so the (3*c_in, S) im2col stacks fit VMEM)."""
+    smaller S so the (3*c_in, S) im2col stacks fit VMEM).
+
+    Off-TPU the plan is None (models fall back to XLA convs — correct and
+    fast on CPU, unlike interpret-mode kernels) unless SRTPU_CS_OFF_TPU=1
+    (set by the test suite to exercise the kernels in interpret mode).
+    """
     import os
     if jax.default_backend() != 'tpu' \
             and os.environ.get('SRTPU_CS_OFF_TPU') != '1':

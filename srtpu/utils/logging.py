@@ -50,6 +50,26 @@ def setup_log(log_level: str = 'warning', file_log_level: str = 'info',
     return root
 
 
+def attach_run_log(log_dir: str | Path, filename: str = 'run.log',
+                   file_log_level: str = 'info') -> logging.Handler:
+    """Attach ONLY a rotating run.log file handler to the root logger,
+    leaving any handlers/levels the embedding application configured
+    untouched (unlike setup_log, which rebuilds root logging for the CLI).
+    """
+    root = logging.getLogger()
+    if root.level > logging.INFO or root.level == logging.NOTSET:
+        # the file handler must actually receive INFO records
+        root.setLevel(logging.INFO)
+    Path(log_dir).mkdir(parents=True, exist_ok=True)
+    fileh = logging.handlers.RotatingFileHandler(
+        Path(log_dir) / filename, maxBytes=5 * 1024 * 1024, backupCount=3)
+    fileh.setLevel(getattr(logging, file_log_level.upper(), logging.INFO))
+    fileh.setFormatter(logging.Formatter(
+        '%(asctime)s %(levelname)s %(name)s: %(message)s'))
+    root.addHandler(fileh)
+    return fileh
+
+
 class TBLogger:
     """Thin tensorboardX wrapper; becomes a no-op if unavailable."""
 
