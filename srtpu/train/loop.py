@@ -71,7 +71,9 @@ class TrainerConfig:
     enable_checkpointing: bool = True
     enable_progress_log: bool = True
     profiler_dir: str | None = None         # jax.profiler trace directory
-    log_every_n_steps: int = 50
+    log_every_n_steps: int = 50             # in-epoch progress cadence
+    #                                         (reference ItemsProgressBar,
+    #                                         train.py:17-81: live items/s)
     ckpt_path: str | None = None            # 'last' or a checkpoints dir
     detect_anomaly: bool = False            # jax_debug_nans (all.yml:81)
     deterministic: bool = False             # fixed seeds everywhere
@@ -92,13 +94,15 @@ class Trainer:
         # Comet (reference's Comet/TB logger pair, SURVEY.md §5)
         self.tb = MultiTracker(self.root, self.root / 'tensorboard_logs')
         # programmatic (non-CLI) use: make sure run.log still lands in the
-        # run root — the reference always writes one (train.py:84-143)
+        # run root — the reference always writes one (train.py:84-143).
+        # Only ATTACH the file handler; never touch handlers/levels the
+        # embedding application may have configured (the CLI path calls
+        # the full setup_log itself).
         root_logger = logging.getLogger()
         if not any(isinstance(h, logging.handlers.RotatingFileHandler)
                    for h in root_logger.handlers):
-            from srtpu.utils.logging import setup_log
-            setup_log(log_level='warning', file_log_level='info',
-                      log_dir=self.root)
+            from srtpu.utils.logging import attach_run_log
+            attach_run_log(self.root)
         self.global_step = 0
         self.current_epoch = 0
         self._ckpt: CheckpointManager | None = None
@@ -172,6 +176,10 @@ class Trainer:
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
         _logger.log(PRINT, 'model parameters: %s (%.2f MB fp32)',
                     f'{n_params:,}', n_params * 4 / 2 ** 20)
+        # before-fit bookkeeping (reference Comet log_code + set_model_graph
+        # + param counts, main.py:45-74): source snapshot + model summary
+        # land in the run root and the tracker asset list
+        self._log_run_assets(state.params, type(model).__name__)
 
         spe = max(int(cfg.steps_per_execution), 1)
         if cfg.fast_dev_run:
@@ -230,6 +238,9 @@ class Trainer:
                 self.current_epoch = epoch
                 t0 = time.time()
                 items = 0
+                n_batches = len(train_loader)
+                if limit_train is not None:
+                    n_batches = min(n_batches, limit_train)
                 train_loader.set_epoch(
                     0 if cfg.overfit_batches > 0 else epoch)
                 if spe > 1:
@@ -248,6 +259,8 @@ class Trainer:
                             self.global_step += spe
                             items += sum(a.shape[0] for a in pend_lr)
                             pend_lr, pend_hr = [], []
+                            self._step_progress(i, n_batches, items, t0,
+                                                logs)
                     # remainder batches run through the single step
                     for a, b in zip(pend_lr, pend_hr):
                         state, last_logs = train_step(state, jnp.asarray(a),
@@ -266,6 +279,7 @@ class Trainer:
                         last_logs = logs
                         self.global_step += 1
                         items += np.asarray(batch.lr).shape[0]
+                        self._step_progress(i, n_batches, items, t0, logs)
 
                 dt = max(time.time() - t0, 1e-9)
                 if cfg.enable_progress_log:
@@ -316,6 +330,58 @@ class Trainer:
             self._record_run_artifacts()
         return state
 
+    def _log_run_assets(self, params, model_name: str) -> None:
+        """Source-code snapshot + model summary (reference Comet
+        ``log_code`` and ``set_model_graph``, main.py:45-74): a zip of the
+        srtpu package and a per-leaf param listing, written to the run
+        root and registered as tracker assets."""
+        try:
+            lines = [f'model: {model_name}', '']
+            total = 0
+            for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+                name = '/'.join(getattr(p, 'key', str(p)) for p in path)
+                lines.append(f'{name:60s} {str(leaf.shape):20s} '
+                             f'{leaf.dtype}  {leaf.size:,}')
+                total += leaf.size
+            lines += ['', f'total parameters: {total:,} '
+                      f'({total * 4 / 2 ** 20:.2f} MB fp32)']
+            summary = self.root / 'model_summary.txt'
+            summary.write_text('\n'.join(lines))
+            self.tb.asset(summary)
+
+            import zipfile
+            import srtpu
+            pkg = Path(srtpu.__file__).parent
+            snap = self.root / 'source_snapshot.zip'
+            with zipfile.ZipFile(snap, 'w', zipfile.ZIP_DEFLATED) as zf:
+                for f in sorted(pkg.rglob('*.py')):
+                    zf.write(f, f'srtpu/{f.relative_to(pkg)}')
+                for f in sorted(pkg.parent.glob('native/*.cc')):
+                    zf.write(f, f'native/{f.name}')
+            self.tb.asset(snap)
+        except Exception:  # bookkeeping must never kill training
+            _logger.warning('run-asset logging failed', exc_info=True)
+
+    def _step_progress(self, i: int, n_batches: int, items: int, t0: float,
+                       logs, loss_keys=('loss',)) -> None:
+        """In-epoch progress line every log_every_n_steps batches
+        (reference ItemsProgressBar items/s display, train.py:17-81) +
+        train-loss scalar to the tracker. Costs one device sync per log
+        (the loss value fetch), so the cadence should stay >> 1."""
+        cfg = self.cfg
+        n = cfg.log_every_n_steps
+        if not cfg.enable_progress_log or n <= 0 or (i + 1) % n:
+            return
+        dt = max(time.time() - t0, 1e-9)
+        vals = {k: float(logs[k]) for k in loss_keys if k in logs}
+        total = f'/{n_batches}' if n_batches else ''
+        _logger.log(PRINT, 'epoch %d  step %d%s  %s  %.1f items/s',
+                    self.current_epoch + 1, i + 1, total,
+                    '  '.join(f'{k} {v:.4f}' for k, v in vals.items()),
+                    items / dt)
+        self.tb.scalars({f'train/{k}': v for k, v in vals.items()},
+                        self.global_step)
+
     def _record_run_artifacts(self) -> None:
         """Post-fit artifact bundle (reference after_fit uploads last.ckpt +
         run.log to Comet, main.py:76-84) — runs on success AND on crash."""
@@ -351,6 +417,9 @@ class Trainer:
     def _fit_gan(self, model, datamodule, optimizer_params=None,
                  hparams=None):
 
+        import optax
+
+        from srtpu.losses.vgg import VGGLoss
         from srtpu.models import SRGANDiscriminator, SRGANGenerator
         from srtpu.optim import parse_optimizer_params
         from .gan import create_gan_state, make_gan_train_step, steplr_adam
@@ -363,11 +432,33 @@ class Trainer:
                                    model.ngf, model.n_blocks, model.dtype)
         discriminator = SRGANDiscriminator(model.ndf, model.dtype)
 
+        # the SRGAN generator objective includes a VGG feature term
+        # (gan.py:87-88 / reference srgan.py:155-167) — without converted
+        # torchvision weights it silently optimizes random features, so
+        # surface the same banner the scalar fit path shows
+        vgg = VGGLoss(net_type='vgg19', layer='relu5_4')
+        if getattr(vgg, 'pretrained', True) is False:
+            _logger.log(
+                PRINT,
+                '=' * 66 + "\nWARNING: SRGAN's VGG content term is running "
+                'on deterministic random-init features (no converted '
+                'pretrained weights found) — the training objective will '
+                'not match the reference. Convert weights with '
+                'tools/convert_torch_weights.py into $SRTPU_WEIGHTS_DIR.\n'
+                + '=' * 66)
+
+        g_tx, d_tx = steplr_adam(lr), steplr_adam(lr)
+        if cfg.accumulate_grad_batches > 1:
+            # same accumulation semantics as the scalar fit path
+            # (reference all.yml:65): params move every k batches
+            g_tx = optax.MultiSteps(g_tx, cfg.accumulate_grad_batches)
+            d_tx = optax.MultiSteps(d_tx, cfg.accumulate_grad_batches)
+
         train_loader = datamodule.train_loader(sharding=self.batch_sharding)
         rng = jax.random.PRNGKey(cfg.seed)
         gstate = create_gan_state(generator, discriminator, rng,
                                   jnp.asarray(train_loader.peek().lr),
-                                  g_tx=steplr_adam(lr), d_tx=steplr_adam(lr))
+                                  g_tx=g_tx, d_tx=d_tx)
 
         start_epoch = 0
         if cfg.ckpt_path:
@@ -399,11 +490,13 @@ class Trainer:
             _logger.log(PRINT, 'resumed GAN from %s at epoch %d (step %d)',
                         ckpt_dir, start_epoch, self.global_step)
 
+        self._log_run_assets({'generator': gstate.g_params,
+                              'discriminator': gstate.d_params}, 'SRGAN')
         if self.mesh is not None:
             from srtpu.parallel import replicate_state
             gstate = replicate_state(self.mesh, gstate)
         gstate = dealias_state(gstate)
-        gan_step = make_gan_train_step(mesh=self.mesh)
+        gan_step = make_gan_train_step(vgg_loss=vgg, mesh=self.mesh)
         eval_step = self._make_eval_step(build_metrics(list(cfg.metrics)))
         self._edge_ops = []
         self._saved_hr_versions = set()
@@ -419,16 +512,23 @@ class Trainer:
                 save_top_k=cfg.save_top_k, hparams=hparams or {})
 
         max_epochs = 1 if cfg.fast_dev_run else cfg.max_epochs
+        # overfit harness parity with the scalar fit path (all.yml:87)
+        limit_train = cfg.limit_train_batches
+        if cfg.overfit_batches > 0:
+            limit_train = cfg.overfit_batches
         last_logs = None
         try:
             for epoch in range(start_epoch, max_epochs):
                 self.current_epoch = epoch
                 t0 = time.time()
                 items = 0
-                train_loader.set_epoch(epoch)
+                n_batches = len(train_loader)
+                if limit_train is not None:
+                    n_batches = min(n_batches, limit_train)
+                train_loader.set_epoch(
+                    0 if cfg.overfit_batches > 0 else epoch)
                 for i, batch in enumerate(train_loader):
-                    if cfg.limit_train_batches is not None \
-                            and i >= cfg.limit_train_batches:
+                    if limit_train is not None and i >= limit_train:
                         break
                     if cfg.fast_dev_run and i >= 1:
                         break
@@ -437,6 +537,8 @@ class Trainer:
                                                  jnp.asarray(batch.hr))
                     self.global_step += 1
                     items += np.asarray(batch.lr).shape[0]
+                    self._step_progress(i, n_batches, items, t0, last_logs,
+                                        loss_keys=('g_loss', 'd_loss'))
 
                 dt = max(time.time() - t0, 1e-9)
                 if cfg.enable_progress_log and last_logs is not None:
@@ -530,6 +632,14 @@ class Trainer:
                 sr, results = eval_step(state, *self._put_eval_batch(
                     batch.lr, batch.hr, batch.mask))
                 results = {k: float(v) for k, v in results.items()}
+                if 'BRISQUE' in results and batch.hr_size is not None:
+                    # the in-step value saw the edge-padded bucket shape;
+                    # recompute on the true shape (reference evaluates
+                    # unpadded images, srmodel.py:570-572)
+                    from srtpu.metrics import brisque_exact
+                    hs, ws = batch.hr_size
+                    results['BRISQUE'] = brisque_exact(
+                        np.asarray(sr)[:, :hs, :ws])
                 for k, v in results.items():
                     per_metric.setdefault(k, []).append(v)
 

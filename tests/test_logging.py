@@ -42,3 +42,44 @@ def test_save_image_grayscale_replicates(tmp_path):
     save_image(img, tmp_path / 'g.png')
     back = np.asarray(Image.open(tmp_path / 'g.png'))
     assert back.shape == (6, 6, 3)
+
+
+def test_run_assets_written_on_fit(tmp_path):
+    """Source snapshot + model summary land in the run root before
+    training (reference Comet log_code/set_model_graph, main.py:45-74)."""
+    import json
+    import zipfile
+
+    from PIL import Image
+    from srtpu.data import SRData
+    from srtpu.models import create_model
+    from srtpu.train import Trainer, TrainerConfig
+
+    hr = tmp_path / 'ds' / 'A' / 'HR'
+    hr.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = np.kron(rng.random((8, 8, 3)), np.ones((4, 4, 1)))
+        Image.fromarray((img * 255).astype(np.uint8)).save(hr / f'{i}.png')
+
+    dm = SRData(batch_size=2, datasets_dir=tmp_path / 'ds', patch_size=16,
+                scale_factor=2, train_datasets=['A'], eval_datasets=['A'],
+                eval_bucket=16)
+    model = create_model('SRCNN', scale_factor=2)
+    root = tmp_path / 'run'
+    cfg = TrainerConfig(max_epochs=1, check_val_every_n_epoch=5,
+                        default_root_dir=str(root), metrics=('PSNR',),
+                        num_sanity_val_steps=0, enable_checkpointing=False,
+                        enable_progress_log=False,
+                        log_weights_every_n_epochs=0)
+    Trainer(cfg).fit(model, dm)
+
+    summary = (root / 'model_summary.txt').read_text()
+    assert 'total parameters' in summary and 'SRCNN' in summary
+    with zipfile.ZipFile(root / 'source_snapshot.zip') as zf:
+        names = zf.namelist()
+    assert 'srtpu/train/loop.py' in names
+    assert any(n.startswith('native/') for n in names)
+    assets = json.loads((root / 'assets.json').read_text())
+    assert any('model_summary' in a for a in assets)
+    assert any('source_snapshot' in a for a in assets)

@@ -435,3 +435,29 @@ def test_crash_containment_saves_artifacts(tiny_dataset, tmp_path,
     assert json.loads((root / 'params.json').read_text())['model'] == 'SRCNN'
     assets = json.loads((root / 'assets.json').read_text())
     assert any('checkpoints' in a for a in assets)
+
+
+def test_in_epoch_step_progress_cadence(tiny_dataset, tmp_path, caplog):
+    """log_every_n_steps drives in-epoch progress lines (reference
+    ItemsProgressBar items/s, train.py:17-81) — previously a dead knob."""
+    import logging
+
+    from srtpu.utils.logging import PRINT
+
+    dm = SRData(batch_size=2, datasets_dir=tiny_dataset, patch_size=16,
+                scale_factor=2, train_datasets=['TinyTrain'],
+                eval_datasets=['TinySet5'], eval_bucket=16)
+    model = create_model('SRCNN', scale_factor=2)
+    cfg = TrainerConfig(max_epochs=1, check_val_every_n_epoch=5,
+                        default_root_dir=str(tmp_path / 'run'),
+                        metrics=('PSNR',), num_sanity_val_steps=0,
+                        enable_checkpointing=False,
+                        log_weights_every_n_epochs=0,
+                        limit_train_batches=4, log_every_n_steps=2)
+    with caplog.at_level(PRINT, logger='srtpu.train.loop'):
+        Trainer(cfg).fit(model, dm)
+    step_lines = [r.message for r in caplog.records
+                  if 'step ' in r.message and 'items/s' in r.message]
+    # 4 batches at cadence 2 -> lines at steps 2 and 4
+    assert len(step_lines) == 2
+    assert 'step 2/4' in step_lines[0] and 'step 4/4' in step_lines[1]
