@@ -62,6 +62,21 @@ def _setup(cfg):
               log_dir=root_dir)
 
 
+def _init_multihost(cfg) -> None:
+    """Bring up jax.distributed when trainer.num_nodes > 1 (reference
+    ``num_nodes``, all.yml:118). Must run before any other jax backend
+    use; after it, jax.devices() is the GLOBAL device list and the mesh
+    in _make_mesh_and_sharding spans all hosts."""
+    trainer = cfg['trainer']
+    num_nodes = int(trainer.get('num_nodes') or 1)
+    if num_nodes <= 1:
+        return
+    from srtpu.parallel import initialize_distributed
+    initialize_distributed(coordinator=trainer.get('coordinator_address'),
+                           num_processes=num_nodes,
+                           process_id=trainer.get('node_rank'))
+
+
 def _make_mesh_and_sharding(cfg, for_fit: bool = True):
     """Build the device mesh from trainer.devices / spatial_devices.
 
@@ -83,11 +98,15 @@ def _make_mesh_and_sharding(cfg, for_fit: bool = True):
     if n <= 1 and spatial <= 1:
         return None, None
     if for_fit:
+        # batch_size is PER-HOST (each process's loader yields its own
+        # interleaved slice); it must split over this host's share of the
+        # data axis
         batch = cfg['data']['batch_size']
-        if batch % (n // spatial) != 0:
+        per_host_data = max((n // spatial) // jax.process_count(), 1)
+        if batch % per_host_data != 0:
             raise ValueError(
-                f'data.batch_size ({batch}) must be divisible by the data-'
-                f'parallel axis ({n // spatial} = devices/spatial_devices)')
+                f'data.batch_size ({batch}) must be divisible by the per-'
+                f'host data-parallel axis ({per_host_data})')
     mesh = make_mesh(data=n // spatial, spatial=spatial,
                      devices=jax.devices()[:n])
     return mesh, batch_sharding(mesh)
@@ -100,6 +119,7 @@ def cmd_fit(args) -> int:
     cfg = load_config(args.config, args.overrides)
     cfg = link_arguments(cfg)
     _setup(cfg)
+    _init_multihost(cfg)
     model, dm, tcfg, fit_kwargs = build_all(cfg)
     mesh, sharding = _make_mesh_and_sharding(cfg)
     trainer = Trainer(tcfg, mesh=mesh, batch_sharding=sharding)
@@ -169,9 +189,10 @@ def cmd_validate(args) -> int:
     from srtpu.data import SRData
     from srtpu.train import Trainer, TrainerConfig
 
-    state, hp, data = _restore(args.checkpoint, args.overrides)
     cfg = load_config(args.config, args.overrides)
     _setup(cfg)
+    _init_multihost(cfg)
+    state, hp, data = _restore(args.checkpoint, args.overrides)
     dm = SRData(**{k: v for k, v in data.items()
                    if k in ('augment', 'batch_size', 'datasets_dir',
                             'eval_datasets', 'patch_size',
@@ -194,9 +215,10 @@ def cmd_predict(args) -> int:
     from srtpu.data import SRData
     from srtpu.train import Trainer, TrainerConfig
 
-    state, hp, data = _restore(args.checkpoint, args.overrides)
     cfg = load_config(args.config, args.overrides)
     _setup(cfg)
+    _init_multihost(cfg)
+    state, hp, data = _restore(args.checkpoint, args.overrides)
     predict_datasets = (cfg['data'].get('predict_datasets')
                         or data.get('predict_datasets', []))
     if not predict_datasets:

@@ -69,6 +69,9 @@ DEFAULTS: dict[str, Any] = {
         'log_every_n_steps': 50,
         'devices': None,            # data-parallel chip count (None = all)
         'spatial_devices': 1,       # spatial-sharding axis size
+        'num_nodes': 1,             # host processes (reference all.yml:118)
+        'coordinator_address': None,  # host 0 address (or $SRTPU_COORDINATOR)
+        'node_rank': None,          # this host's id (or $SRTPU_NODE_RANK)
         'ckpt_path': None,          # 'last' or a checkpoints dir to resume
         'detect_anomaly': False,
         'deterministic': False,

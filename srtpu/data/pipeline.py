@@ -211,8 +211,9 @@ class TrainLoader:
                     batch = self._make_batch(idx, rng)
                     lr, hr = batch.lr, batch.hr
                     if self._sharding is not None:
-                        lr = jax.device_put(lr, self._sharding)
-                        hr = jax.device_put(hr, self._sharding)
+                        from srtpu.parallel import put_local_batch
+                        lr = put_local_batch(lr, self._sharding)
+                        hr = put_local_batch(hr, self._sharding)
                     q.put(Batch(lr=lr, hr=hr, names=batch.names))
             except BaseException as e:  # surface worker errors to consumer
                 q.put(e)

@@ -36,11 +36,49 @@ _logger = logging.getLogger(__name__)
 def initialize_distributed(coordinator: str | None = None,
                            num_processes: int | None = None,
                            process_id: int | None = None) -> None:
-    """Multi-host bring-up (no-op single-host)."""
-    if num_processes and num_processes > 1:
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+    """Multi-host bring-up (no-op single-host).
+
+    Reference counterpart: ``num_nodes`` (configs/all.yml:118) — Lightning
+    delegates to torch.distributed; here jax.distributed.initialize brings
+    up the cross-host runtime (DCN across slices) and ``jax.devices()``
+    becomes the global device list. Config knobs ``trainer.num_nodes`` /
+    ``trainer.coordinator_address`` / ``trainer.node_rank`` feed this via
+    the CLI; env fallbacks SRTPU_COORDINATOR / SRTPU_NODE_RANK.
+    """
+    import os
+    if not num_processes or num_processes <= 1:
+        return
+    coordinator = coordinator or os.environ.get('SRTPU_COORDINATOR',
+                                                'localhost:12355')
+    if process_id is None:
+        process_id = int(os.environ.get('SRTPU_NODE_RANK', 0))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _logger.info('multi-host runtime up: process %d/%d, %d global devices',
+                 jax.process_index(), jax.process_count(),
+                 len(jax.devices()))
+
+
+def put_global(x, sharding: NamedSharding):
+    """Place a host array under a (possibly multi-host) sharding when every
+    process holds the identical GLOBAL value (replicated state, eval
+    images). Single-process: plain device_put. Multi-process: build the
+    global jax.Array from per-device slices of the local copy."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def put_local_batch(x, sharding: NamedSharding):
+    """Place a PER-PROCESS batch shard under a multi-host batch sharding
+    (each process's loader yields its own interleaved slice of the epoch;
+    the global batch is the concatenation). Single-process: device_put."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
 
 def make_mesh(data: int | None = None, spatial: int = 1,
@@ -78,24 +116,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """Place host arrays onto the mesh with batch/spatial sharding."""
+    """Place host arrays onto the mesh with batch/spatial sharding (each
+    process contributes its local slice in multi-host runs)."""
     sh = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+    out = tuple(put_local_batch(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 
 def shard_eval_batch(mesh: Mesh, *arrays):
     """Place batch-1 eval arrays onto the mesh row-sharded (see
-    :func:`eval_sharding`)."""
+    :func:`eval_sharding`); eval images are loaded identically on every
+    process."""
     sh = eval_sharding(mesh)
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+    out = tuple(put_global(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 
 def replicate_state(mesh: Mesh, state):
-    """Replicate a TrainState's arrays across the mesh."""
+    """Replicate a TrainState's arrays across the mesh (state is built
+    identically on every process — deterministic seeded init)."""
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), state)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sh), state)
 
 
 def make_parallel_train_step(composite_loss, mesh: Mesh,

@@ -138,10 +138,11 @@ def make_eval_step(metrics: dict[str, Callable]):
         results = {}
         for name, fn in metrics.items():
             if name in NO_REFERENCE:
-                # no-reference metrics see the edge-padded SR as-is:
-                # zeroing the padding would inject a black border into the
-                # global natural-scene statistics; edge padding is the
-                # closer approximation (exactness requires unpadded shapes)
+                # no-reference metrics see the edge-padded SR here (static
+                # bucket shapes inside jit); the Trainer overwrites BRISQUE
+                # with the exact unpadded-shape value after the step
+                # (srtpu.metrics.brisque_exact) — padding shifts the score
+                # by up to ~8 points on small images (tests/test_metrics.py)
                 results[name] = fn(sr)
             else:
                 results[name] = fn(sr, hr, mask=mask)
