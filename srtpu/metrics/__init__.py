@@ -55,10 +55,32 @@ def build_metrics(names: list[str]) -> dict[str, Callable]:
     return out
 
 
+_brisque_jit = None
+
+
+def brisque_exact(sr_np) -> float:
+    """BRISQUE on the TRUE (unpadded) SR shape, computed on the CPU
+    backend with one jit-cache entry per image shape.
+
+    The bucketed eval step sees edge-padded images, and BRISQUE's global
+    natural-scene statistics shift measurably under padding (up to ~8
+    points on heavily padded shapes — tests/test_metrics.py). The
+    reference evaluates true shapes (srmodel.py:570-572); the Trainer
+    calls this on the host-cropped SR after the jitted step (batch-1 eval
+    makes the recompute cheap)."""
+    global _brisque_jit
+    import numpy as np
+    if _brisque_jit is None:
+        _brisque_jit = jax.jit(brisque)
+    cpu = jax.devices('cpu')[0]
+    x = jax.device_put(np.asarray(sr_np, np.float32), cpu)
+    return float(_brisque_jit(x))
+
+
 def supported_metrics() -> list[str]:
     return ['BRISQUE', 'FLIP', 'LPIPS', 'MS-SSIM', 'PSNR', 'SSIM']
 
 
-__all__ = ['brisque', 'brisque_features', 'build_metrics', 'flip', 'ms_ssim',
-           'psnr', 'ssim', 'supported_metrics', 'NO_REFERENCE',
-           'LOWER_IS_BETTER']
+__all__ = ['brisque', 'brisque_exact', 'brisque_features', 'build_metrics',
+           'flip', 'ms_ssim', 'psnr', 'ssim', 'supported_metrics',
+           'NO_REFERENCE', 'LOWER_IS_BETTER']
