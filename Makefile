@@ -32,5 +32,10 @@ bench-kernels:
 sweep:
 	$(PY) tools/run_comparisons.py $(ARGS)
 
+# real-dataset quality parity vs reference/literature (BASELINE.json north
+# star); needs datasets/DIV2K + datasets/Set5 etc. on disk
+parity:
+	$(PY) tools/run_parity.py $(ARGS)
+
 clean:
 	rm -rf experiments __pycache__ srtpu/**/__pycache__ .pytest_cache

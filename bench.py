@@ -1,10 +1,12 @@
-"""Benchmark: EDSR-baseline x4 training throughput (patches/sec/chip).
+"""Benchmark: training throughput (patches/sec/chip) across the model zoo.
 
-The reference publishes no numbers (BASELINE.md); the recorded metric is the
-north star from BASELINE.json: EDSR x4 patches/sec/chip on the canonical
-recipe shapes (batch 16, patch 128 -> LR 32x32, DIV2K-like data). The full
-jitted train step (forward + L1 + backward + ADAM update) is timed on the
-default device, bf16 compute / f32 params.
+The reference publishes no numbers (BASELINE.md); the recorded headline
+metric is the north star from BASELINE.json: EDSR x4 patches/sec/chip on
+the canonical recipe shapes (batch 16, patch 128 -> LR 32x32, DIV2K-like
+data). The full jitted train step (forward + L1 + backward + ADAM update)
+is timed on the default device, bf16 compute / f32 params. A second row
+benches the RCAN flagship (10 groups x 16 RCABs, the paper config) so the
+recorded JSON carries the zoo story, not one cherry (VERDICT round 2 #3).
 
 Measurement notes (important on remote-attached TPUs): ``block_until_ready``
 does not reliably wait for remote execution on tunneled backends, so the
@@ -12,9 +14,10 @@ timing fetches a loss VALUE to force a true sync, and reports the slope
 between a small and a large window — per-step time with the fixed fetch
 latency cancelled out.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "models"}.
 ``vs_baseline`` is measured against bench_baseline.json (this repo's
-round-1 recorded number) so cross-round perf progress is visible.
+round-1 recorded number) so cross-round perf progress is visible; "models"
+holds one row per benchmarked config.
 """
 
 from __future__ import annotations
@@ -34,18 +37,25 @@ SMALL_WINDOW = 10
 BIG_WINDOW = 60
 REPEATS = 2
 
+# use_pallas='cs': transposed channel-sublane kernels — the round-2
+# layout win (66% vs 36% conv MFU at C=64; PERF.md)
+CONFIGS = [
+    {'name': 'EDSR-baseline', 'model': 'EDSR', 'headline': True,
+     'kwargs': dict(n_feats=64, n_resblocks=16, use_pallas='cs')},
+    {'name': 'RCAN-10x16', 'model': 'RCAN', 'headline': False,
+     'kwargs': dict(n_feats=64, n_resgroups=10, n_resblocks=16,
+                    reduction=16, use_pallas='cs')},
+]
 
-def build():
+
+def build(model_name: str, kwargs: dict):
     from srtpu.losses import parse_losses
     from srtpu.models import create_model
     from srtpu.optim import build_optimizer
     from srtpu.train import create_train_state, make_train_step
 
-    # use_pallas='cs': transposed channel-sublane trunk kernels — the
-    # round-2 layout win (66% vs 36% conv MFU at C=64; PERF.md)
-    model = create_model('EDSR', scale_factor=SCALE, n_feats=64,
-                         n_resblocks=16, dtype=jnp.bfloat16,
-                         use_pallas='cs')
+    model = create_model(model_name, scale_factor=SCALE,
+                         dtype=jnp.bfloat16, **kwargs)
     composite = parse_losses('l1')
     tx = build_optimizer('ADAM', ['lr=1e-4'])
 
@@ -60,8 +70,8 @@ def build():
     return state, step, lr_img, hr_img
 
 
-def main():
-    state, step, lr_img, hr_img = build()
+def measure(model_name: str, kwargs: dict) -> float:
+    state, step, lr_img, hr_img = build(model_name, kwargs)
 
     # compile + first sync
     state, logs = step(state, lr_img, hr_img)
@@ -79,20 +89,36 @@ def main():
     t_small = min(window(SMALL_WINDOW) for _ in range(REPEATS))
     t_big = min(window(BIG_WINDOW) for _ in range(REPEATS))
     step_time = (t_big - t_small) / (BIG_WINDOW - SMALL_WINDOW)
-    patches_per_sec = BATCH / step_time
+    return BATCH / step_time
+
+
+def main():
+    from srtpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    rows = []
+    headline = None
+    for cfg in CONFIGS:
+        pps = measure(cfg['model'], cfg['kwargs'])
+        row = {'model': cfg['name'], 'value': round(pps, 2),
+               'unit': 'patches/sec/chip'}
+        rows.append(row)
+        if cfg['headline']:
+            headline = pps
 
     baseline_path = Path(__file__).parent / 'bench_baseline.json'
     vs_baseline = 1.0
     if baseline_path.exists():
         base = json.loads(baseline_path.read_text()).get('value')
         if base:
-            vs_baseline = patches_per_sec / base
+            vs_baseline = headline / base
 
     print(json.dumps({
         'metric': 'EDSR-baseline x4 train throughput (b16 p128, bf16)',
-        'value': round(patches_per_sec, 2),
+        'value': round(headline, 2),
         'unit': 'patches/sec/chip',
         'vs_baseline': round(vs_baseline, 3),
+        'models': rows,
     }))
 
 
