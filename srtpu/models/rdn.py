@@ -106,7 +106,7 @@ class RDN(nn.Module):
         from .common import torch_uniform_init
         from srtpu.ops.cs_conv import (conv3x3_cs_pre, cs_plan_s,
                                        cs_to_nhwc, nhwc_to_cs,
-                                       rdn_trunk_cs)
+                                       rdn_trunk_cs2)
 
         def u(bound, shape, name):
             return self.param(name, torch_uniform_init(bound), shape)
@@ -141,7 +141,9 @@ class RDN(nn.Module):
         h, w = f1.shape[1], f1.shape[2]
         f1c = nhwc_to_cs(f1d, k)
         x = conv3x3_cs_pre(f1c, sfe2_w, sfe2_b, w, k)
-        outs = rdn_trunk_cs(x, tuple(ws), tuple(bs), wfs, bfs, w, k)
+        # round-3 fused whole-RDB kernels: the dense buffer stays VMEM-
+        # resident across all C layers (no per-layer concat traffic)
+        outs = rdn_trunk_cs2(x, tuple(ws), tuple(bs), wfs, bfs, w, k)
         cat = jnp.concatenate(outs, axis=1)            # (Gr, D*G0, S)
         y = jnp.einsum('oc,gcs->gos', gff1_w.astype(dtype), cat) \
             + gff1_b[:, None].astype(dtype)

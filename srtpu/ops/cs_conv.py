@@ -1100,6 +1100,343 @@ rdn_trunk_cs.defvjp(_rdn_vjp_fwd, _rdn_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
+# RDN: fused whole-RDB kernels (round-3 trunk)
+# ---------------------------------------------------------------------------
+#
+# The per-layer trunk above matches XLA but no better: the dense-concat
+# buffer is re-materialized between every kernel call (~4 ms/step of
+# copies at the flagship config, PERF.md round 2). Here each RDB runs as
+# ONE forward kernel with the growing (c_tot, S) buffer RESIDENT IN VMEM
+# across all C layers (written once, as the residual for the backward),
+# and the backward as two kernels per block: a chain kernel (dbuf resident
+# in VMEM, dout per layer + dx + fusion grads) and pair-chunked dW
+# kernels. Weights are pre-arranged chunk-major so every (layer, chunk)
+# matmul slice is contiguous. Data traffic per block is the information-
+# theoretic minimum: read x + weights, write buf + out (fwd); read buf,
+# dout + weights, write grads (bwd). Reference: models/rdn.py:24-40.
+
+
+def w_rdn_chunk_major(ws):
+    """Per-layer CS stacks ws[i] (D, 3G, 3*(i+1)*G) [cols (dx, c_in)] ->
+    one (D, 3G, n_pairs*3G) array, cols (chunk, dx, c_local)."""
+    d, rows, _ = ws[0].shape
+    g0 = rows // 3
+    cm = []
+    for i, w in enumerate(ws):
+        n = i + 1
+        v = w.reshape(d, rows, 3, n, g0).transpose(0, 1, 3, 2, 4)
+        cm.append(v.reshape(d, rows, n * 3 * g0))
+    return jnp.concatenate(cm, axis=2)
+
+
+def w_rdn_chunks_T(ws):
+    """Chunk-wise transposed kernels for the backward: (D, n_pairs*3G, 3G);
+    row-block p = w_cs_T arrangement of pair p's (G -> G) sub-kernel."""
+    out = []
+    for w in ws:
+        d, rows, cols = w.shape
+        g0 = rows // 3
+        n = cols // (3 * g0)
+        v = w.reshape(d, 3, g0, 3, n, g0)      # dy, c_out, dx, chunk, c_l
+        vt = v[:, ::-1, :, ::-1]               # flip taps
+        vt = vt.transpose(0, 4, 1, 5, 3, 2)    # chunk, dy, c_l, dx, c_out
+        out.append(vt.reshape(d, n * 3 * g0, 3 * g0))
+    return jnp.concatenate(out, axis=1)
+
+
+def _dw_pairs_to_layers(dwt, n_layers, g0):
+    """(n_pairs, 3, G, 3G) pair grads -> tuple of per-layer (3G, 3cin)
+    grads in the stored CS arrangement."""
+    outs = []
+    off = 0
+    for i in range(n_layers):
+        n = i + 1
+        v = dwt[off:off + n]                   # chunk, dy, c_out, (dx, c_l)
+        v = v.reshape(n, 3, g0, 3, g0).transpose(1, 2, 3, 0, 4)
+        outs.append(v.reshape(3 * g0, 3 * n * g0))
+        off += n
+    return outs
+
+
+def _rdb_fwd_kernel(x_ref, w_ref, b_ref, wf_ref, bf_ref,
+                    out_ref, buf_ref, x3_ref, acc_ref, *, w_img, wk,
+                    n_layers):
+    s = x_ref.shape[2]
+    g0 = x_ref.shape[1]
+    x = x_ref[0]
+    buf_ref[0, 0:g0] = x
+    pair = 0
+    for i in range(n_layers):
+        lo = g0 * (i + 1)
+        for j in range(i + 1):
+            _build_x3(buf_ref[0, g0 * j:g0 * (j + 1)], x3_ref, s, w_img)
+            p = jnp.dot(w_ref[0][:, pair * 3 * g0:(pair + 1) * 3 * g0],
+                        x3_ref[...], preferred_element_type=jnp.float32)
+            if j == 0:
+                acc_ref[...] = p
+            else:
+                acc_ref[...] += p
+            pair += 1
+        h = jnp.maximum(_dy_reduce(acc_ref[...], s, wk) + b_ref[0, i], 0.0)
+        buf_ref[0, lo:lo + g0] = h.astype(buf_ref.dtype)
+    fused = jnp.dot(wf_ref[0], buf_ref[0],
+                    preferred_element_type=jnp.float32) + bf_ref[0]
+    out_ref[0] = (x.astype(jnp.float32) + fused).astype(out_ref.dtype)
+
+
+def rdb_fused_fwd(x_cs, wcm, b, wf, bf, w_img, k, interpret=None):
+    """One residual dense block, fully fused. Returns (out, buf).
+
+    Weights arrive as (1, ...) XLA-level slices of the stacked arrays so
+    every block invocation lowers to a byte-identical Mosaic kernel —
+    the compile cache then builds ONE kernel for all D blocks instead of
+    D (the round-2 per-block index maps compiled D distinct kernels and
+    dominated RDN's 466 s compile)."""
+    g, g0, s = x_cs.shape
+    n_layers = b.shape[1]
+    c_tot = wf.shape[2]
+    blk = pl.BlockSpec((1, g0, s), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    bufblk = pl.BlockSpec((1, c_tot, s), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    n_pairs = wcm.shape[2] // (3 * g0)
+    return pl.pallas_call(
+        partial(_rdb_fwd_kernel, w_img=w_img, wk=w_img * k,
+                n_layers=n_layers),
+        grid=(g,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[blk, _stk(0, wcm.shape[1:]), _stk(0, b.shape[1:]),
+                  _stk(0, wf.shape[1:]), _stk(0, bf.shape[1:])],
+        out_specs=(blk, bufblk),
+        out_shape=(jax.ShapeDtypeStruct((g, g0, s), x_cs.dtype),
+                   jax.ShapeDtypeStruct((g, c_tot, s), x_cs.dtype)),
+        scratch_shapes=[pltpu.VMEM((3 * g0, s), x_cs.dtype),
+                        pltpu.VMEM((3 * g0, s), jnp.float32)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * g0 * g0 * s * g * (n_pairs + n_layers),
+            bytes_accessed=(g0 + 2 * c_tot) * s * g * 2,
+            transcendentals=0),
+    )(x_cs, wcm, b, wf, bf)
+
+
+def _rdb_bwd_chain_kernel(buf_ref, g_ref, wt_ref, wft_ref,
+                          dx_ref, dout_ref, dwf_ref, dbf_ref, db_ref,
+                          dbuf_ref, g3_ref, *, w_img, wk, n_layers):
+    gid = pl.program_id(0)
+    s = g_ref.shape[2]
+    g0 = g_ref.shape[1]
+    gf = g_ref[0].astype(jnp.float32)
+    buf = buf_ref[0]
+
+    @pl.when(gid == 0)
+    def _():
+        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+        dbf_ref[...] = jnp.zeros_like(dbf_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    # local-fusion backward: out = x + wf @ buf + bf
+    dwf_ref[...] += jax.lax.dot_general(
+        g_ref[0], buf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbf_ref[...] += jnp.sum(gf, axis=1, keepdims=True)
+    dbuf_ref[...] = jnp.dot(wft_ref[0], g_ref[0],
+                            preferred_element_type=jnp.float32)
+
+    pair_end = n_layers * (n_layers + 1) // 2
+    for i in reversed(range(n_layers)):
+        lo = g0 * (i + 1)
+        h = buf[lo:lo + g0].astype(jnp.float32)
+        dout = jnp.where(h > 0, dbuf_ref[lo:lo + g0], 0.0)
+        db_ref[i] += jnp.sum(dout, axis=1, keepdims=True)
+        doutb = dout.astype(buf.dtype)
+        dout_ref[0, g0 * i:g0 * (i + 1)] = doutb
+        _build_x3(doutb, g3_ref, s, w_img)
+        pair_end -= i + 1
+        for j in range(i + 1):
+            p_idx = pair_end + j
+            wt_j = wt_ref[0][p_idx * 3 * g0:(p_idx + 1) * 3 * g0]
+            p = jnp.dot(wt_j, g3_ref[...],
+                        preferred_element_type=jnp.float32)
+            dbuf_ref[g0 * j:g0 * (j + 1)] += _dy_reduce(p, s, wk)
+    dx_ref[0] = (dbuf_ref[0:g0] + gf).astype(dx_ref.dtype)
+
+
+def rdb_bwd_chain(buf, g_cs, wtcm, wft, w_img, k, n_layers,
+                  interpret=None):
+    """Backward chain of one RDB: (dx, dout_stack, dwf, dbf, db).
+    wtcm/wft are (1, ...) slices — see rdb_fused_fwd on kernel dedupe."""
+    g, c_tot, s = buf.shape
+    g0 = g_cs.shape[1]
+    blk = pl.BlockSpec((1, g0, s), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    bufblk = pl.BlockSpec((1, c_tot, s), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    doutblk = pl.BlockSpec((1, n_layers * g0, s), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    acc_wf = pl.BlockSpec((g0, c_tot), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    acc_bf = pl.BlockSpec((g0, 1), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    acc_b = pl.BlockSpec((n_layers, g0, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_rdb_bwd_chain_kernel, w_img=w_img, wk=w_img * k,
+                n_layers=n_layers),
+        grid=(g,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[bufblk, blk, _stk(0, wtcm.shape[1:]),
+                  _stk(0, wft.shape[1:])],
+        out_specs=(blk, doutblk, acc_wf, acc_bf, acc_b),
+        out_shape=(jax.ShapeDtypeStruct((g, g0, s), buf.dtype),
+                   jax.ShapeDtypeStruct((g, n_layers * g0, s), buf.dtype),
+                   jax.ShapeDtypeStruct((g0, c_tot), jnp.float32),
+                   jax.ShapeDtypeStruct((g0, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n_layers, g0, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((c_tot, s), jnp.float32),
+                        pltpu.VMEM((3 * g0, s), buf.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * g0 * g0 * s * g
+            * (n_layers * (n_layers + 1) // 2 + n_layers),
+            bytes_accessed=3 * c_tot * s * g * 2, transcendentals=0),
+    )(buf, g_cs, wtcm, wft)
+
+
+def _rdb_bwd_dw_kernel(buf_ref, dout_ref, dwt_ref, x3_ref, *, w_img, wk,
+                       pairs):
+    gid = pl.program_id(0)
+    s = buf_ref.shape[2]
+    g0 = dwt_ref.shape[2]
+
+    @pl.when(gid == 0)
+    def _():
+        dwt_ref[...] = jnp.zeros_like(dwt_ref)
+
+    by_i: dict = {}
+    for idx, (i, j) in enumerate(pairs):
+        by_i.setdefault(i, []).append((idx, j))
+    for i, items in by_i.items():
+        doutf = dout_ref[0, g0 * i:g0 * (i + 1)].astype(jnp.float32)
+        grs = [_gs_roll(doutf, dy, s, wk).astype(buf_ref.dtype)
+               for dy in range(3)]
+        for idx, j in items:
+            _build_x3(buf_ref[0, g0 * j:g0 * (j + 1)], x3_ref, s, w_img)
+            x3 = x3_ref[...]
+            for dy in range(3):
+                dwt_ref[idx, dy] += jax.lax.dot_general(
+                    grs[dy], x3, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+
+def rdb_bwd_dw(buf, dout, pairs, w_img, k, g0, interpret=None):
+    """dW accumulation for a list of (layer, chunk) pairs:
+    returns (n_pairs, 3, G, 3G) f32 [(dy), (c_out), (dx, c_local)]."""
+    g, c_tot, s = buf.shape
+    n_layers = dout.shape[1] // g0
+    bufblk = pl.BlockSpec((1, c_tot, s), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    doutblk = pl.BlockSpec((1, n_layers * g0, s), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((len(pairs), 3, g0, 3 * g0),
+                       lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_rdb_bwd_dw_kernel, w_img=w_img, wk=w_img * k,
+                pairs=tuple(pairs)),
+        grid=(g,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[bufblk, doutblk],
+        out_specs=acc,
+        out_shape=jax.ShapeDtypeStruct((len(pairs), 3, g0, 3 * g0),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3 * g0, s), buf.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * g0 * g0 * s * g * len(pairs),
+            bytes_accessed=(c_tot + n_layers * g0) * s * g * 2,
+            transcendentals=0),
+    )(buf, dout)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def rdn_trunk_cs2(x_cs, ws, bs, wfs, bfs, w_img, k):
+    """D fused residual dense blocks (whole-RDB kernels). Same signature
+    and stored param layout as rdn_trunk_cs; returns the D block outputs."""
+    outs, *_ = _rdn2_fwd(x_cs, ws, bs, wfs, bfs, w_img, k)
+    return outs
+
+
+def _rdn2_fwd(x_cs, ws, bs, wfs, bfs, w_img, k):
+    dt = x_cs.dtype
+    d = wfs.shape[0]
+    wsd = [w.astype(dt) for w in ws]
+    wcm = w_rdn_chunk_major(wsd)
+    b = jnp.stack([b_.astype(jnp.float32) for b_ in bs], axis=1)[..., None]
+    wfd = wfs.astype(dt)
+    bfd = bfs.astype(jnp.float32)[..., None]
+    outs, bufs = [], []
+    x = x_cs
+    for l in range(d):
+        x, buf = rdb_fused_fwd(x, wcm[l:l + 1], b[l:l + 1], wfd[l:l + 1],
+                               bfd[l:l + 1], w_img, k)
+        outs.append(x)
+        bufs.append(buf)
+    return tuple(outs), tuple(bufs), wsd, wfd
+
+
+def _rdn2_vjp_fwd(x_cs, ws, bs, wfs, bfs, w_img, k):
+    outs, bufs, wsd, wfd = _rdn2_fwd(x_cs, ws, bs, wfs, bfs, w_img, k)
+    return outs, (bufs, wsd, wfd)
+
+
+# dW accumulator VMEM budget: pairs are split so one call's (p, 3, G, 3G)
+# f32 block stays well under the scoped limit next to buf + dout blocks
+_DW_PAIRS_PER_CALL = 18
+
+
+def _rdn2_vjp_bwd(w_img, k, res, cts):
+    bufs, wsd, wfd = res
+    dt = bufs[0].dtype
+    d = len(bufs)
+    n_layers = len(wsd)
+    g0 = wfd.shape[1]
+    wtcm = w_rdn_chunks_T(wsd)
+    wft = jnp.transpose(wfd, (0, 2, 1))
+    pairs = [(i, j) for i in range(n_layers) for j in range(i + 1)]
+    halves = [pairs[o:o + _DW_PAIRS_PER_CALL]
+              for o in range(0, len(pairs), _DW_PAIRS_PER_CALL)]
+
+    dwts = [None] * d
+    dwf = [None] * d
+    dbf = [None] * d
+    db = [None] * d
+    g = jnp.zeros_like(bufs[0][:, :g0])
+    for l in reversed(range(d)):
+        gl = (g.astype(jnp.float32) + cts[l].astype(jnp.float32)).astype(dt)
+        g, dout, dwf[l], dbf_l, db_l = rdb_bwd_chain(
+            bufs[l], gl, wtcm[l:l + 1], wft[l:l + 1], w_img, k, n_layers)
+        dbf[l] = dbf_l[:, 0]
+        db[l] = db_l[..., 0]
+        dwts[l] = jnp.concatenate(
+            [rdb_bwd_dw(bufs[l], dout, h, w_img, k, g0) for h in halves],
+            axis=0)
+
+    dws_layers = [_dw_pairs_to_layers(dwts[l], n_layers, g0)
+                  for l in range(d)]
+    dws = tuple(jnp.stack([dws_layers[l][i] for l in range(d)])
+                for i in range(n_layers))
+    dbs = tuple(jnp.stack([db[l][i] for l in range(d)])
+                for i in range(n_layers))
+    return (g, dws, dbs, jnp.stack(dwf), jnp.stack(dbf))
+
+
+rdn_trunk_cs2.defvjp(_rdn2_vjp_fwd, _rdn2_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
 # RCAN residual group in CS layout (RCABs + close conv + group skip)
 # ---------------------------------------------------------------------------
 #

@@ -282,11 +282,14 @@ def test_upsample_cs_matches_conv_plus_shuffle():
             np.testing.assert_allclose(a, b, atol=2e-3, err_msg=f'r={r}')
 
 
-def test_rdn_trunk_cs_matches_xla(data):
-    """RDN dense blocks (CS kernels, trunk-level VJP) vs plain XLA math:
-    values and every gradient."""
+@pytest.mark.parametrize('trunk', ['cs', 'cs2'])
+def test_rdn_trunk_cs_matches_xla(data, trunk):
+    """RDN dense blocks vs plain XLA math: values and every gradient.
+    'cs' = per-layer kernels (round 2); 'cs2' = fused whole-RDB kernels
+    (round 3, the shipped path)."""
     from srtpu.ops.cs_conv import (conv3x3_reference, rdn_trunk_cs,
-                                   w_cs_batch, w_hwio_from_cs)
+                                   rdn_trunk_cs2, w_cs_batch,
+                                   w_hwio_from_cs)
     rng = np.random.default_rng(31)
     B, H, W = 4, 8, 8
     G0, C, D = 16, 3, 2
@@ -304,8 +307,10 @@ def test_rdn_trunk_cs_matches_xla(data):
     bfs = mk(D, G0)
     args = (x_cs, ws, bs, wfs, bfs)
 
+    trunk_fn = rdn_trunk_cs if trunk == 'cs' else rdn_trunk_cs2
+
     def f_cs(a):
-        outs = rdn_trunk_cs(a[0], a[1], a[2], a[3], a[4], W, k)
+        outs = trunk_fn(a[0], a[1], a[2], a[3], a[4], W, k)
         return sum(jnp.sum(jnp.sin(o * (j + 1))) for j, o in enumerate(outs))
 
     def f_ref(a):
@@ -460,3 +465,78 @@ def test_edsr_cs_matches_default():
     out_ref = m_ref.apply(p_ref, x)
     out_cs = m_cs.apply(pc, x)
     np.testing.assert_allclose(out_cs, out_ref, atol=1e-4)
+
+
+@pytest.mark.parametrize('c', [16, 64])
+def test_wdsr_block_cs_matches_xla(c):
+    """WDSR-B fused CS block (1x1 expand + relu + 1x1 linear + 3x3 conv
+    + skip, one kernel per direction, in-kernel h1 recompute backward)
+    vs explicit XLA math: values and all gradients. c=64 exercises the
+    chunked dh1 path (6C = 384 -> 3 chunks)."""
+    from srtpu.ops.cs_conv import (conv3x3_reference, cs_plan_s,
+                                   cs_to_nhwc, nhwc_to_cs)
+    from srtpu.ops.wdsr_cs import wdsr_block_cs, wdsr_lp
+
+    rng = np.random.default_rng(51)
+    B, H, W = 2, 8, 8
+    e = 6 * c
+    lv, lp = wdsr_lp(c)
+    x = jnp.asarray(rng.standard_normal((B, H, W, c)) * 0.5, jnp.float32)
+
+    def mk(*shape, s=0.1):
+        return jnp.asarray(rng.standard_normal(shape) * s, jnp.float32)
+
+    w1, b1 = mk(e, c), mk(e)
+    w2, b2 = mk(lv, e), mk(lv)
+    w3, b3 = mk(3, 3, lv, c), mk(c)
+    rs = 0.8
+    k, _ = cs_plan_s(x.shape, 1024, 1088)
+    args = (x, w1, b1, w2, b2, w3, b3)
+
+    def f_cs(a):
+        xn, w1_, b1_, w2_, b2_, w3_, b3_ = a
+        w2p = jnp.pad(w2_, ((0, lp - lv), (0, 0)))
+        b2p = jnp.pad(b2_, (0, lp - lv))
+        w3p = jnp.pad(w3_, ((0, 0), (0, 0), (0, lp - lv), (0, 0)))
+        out = wdsr_block_cs(nhwc_to_cs(xn, k), w1_, b1_, w2p, b2p,
+                            w3p, b3_, rs, W, k)
+        return jnp.sum(jnp.sin(cs_to_nhwc(out, k, H, W)))
+
+    def f_ref(a):
+        xn, w1_, b1_, w2_, b2_, w3_, b3_ = a
+        h1 = jax.nn.relu(xn @ w1_.T + b1_)
+        h2 = h1 @ w2_.T + b2_
+        res = conv3x3_reference(h2, w3_, b3_)
+        return jnp.sum(jnp.sin(res * rs + xn))
+
+    np.testing.assert_allclose(f_cs(args), f_ref(args), rtol=2e-4)
+    g_cs = jax.grad(f_cs)(args)
+    g_rf = jax.grad(f_ref)(args)
+    for a, b in zip(jax.tree_util.tree_leaves(g_cs),
+                    jax.tree_util.tree_leaves(g_rf)):
+        np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_wdsr_model_cs_matches_xla_fallback():
+    """WDSR(use_pallas='cs') kernels == the same model's XLA fallback math
+    (identical param tree) — the product guarantee that train (kernels)
+    and large-image eval (fallback) agree."""
+    from srtpu.models import create_model
+    import srtpu.ops.cs_conv as cc
+
+    rng = np.random.default_rng(52)
+    x = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32)
+    kw = dict(scale_factor=2, block_type='B', n_feats=64, n_resblocks=2)
+    m = create_model('WDSR', use_pallas='cs', **kw)
+    params = m.init(jax.random.PRNGKey(0), x)['params']
+    y_kernel = m.apply({'params': params}, x)
+
+    # force the fallback by making the plan fail (env off)
+    import os
+    os.environ['SRTPU_CS_OFF_TPU'] = '0'
+    try:
+        y_fallback = m.apply({'params': params}, x)
+    finally:
+        os.environ['SRTPU_CS_OFF_TPU'] = '1'
+    np.testing.assert_allclose(np.asarray(y_kernel),
+                               np.asarray(y_fallback), atol=2e-5)
