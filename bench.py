@@ -4,9 +4,10 @@ The reference publishes no numbers (BASELINE.md); the recorded headline
 metric is the north star from BASELINE.json: EDSR x4 patches/sec/chip on
 the canonical recipe shapes (batch 16, patch 128 -> LR 32x32, DIV2K-like
 data). The full jitted train step (forward + L1 + backward + ADAM update)
-is timed on the default device, bf16 compute / f32 params. A second row
-benches the RCAN flagship (10 groups x 16 RCABs, the paper config) so the
-recorded JSON carries the zoo story, not one cherry (VERDICT round 2 #3).
+is timed on the default device, bf16 compute / f32 params. Further rows
+bench the RCAN flagship (10 groups x 16 RCABs, the paper config) and the
+RDN-B flagship (fused whole-RDB kernels) so the recorded JSON carries the
+zoo story, not one cherry (VERDICT round 2 #3).
 
 Measurement notes (important on remote-attached TPUs): ``block_until_ready``
 does not reliably wait for remote execution on tunneled backends, so the
@@ -45,6 +46,9 @@ CONFIGS = [
     {'name': 'RCAN-10x16', 'model': 'RCAN', 'headline': False,
      'kwargs': dict(n_feats=64, n_resgroups=10, n_resblocks=16,
                     reduction=16, use_pallas='cs')},
+    # round-3 fused whole-RDB kernels: 22.3 vs 27.3 ms/step XLA (PERF.md)
+    {'name': 'RDN-B', 'model': 'RDN', 'headline': False,
+     'kwargs': dict(rdn_config='B', use_pallas='cs')},
 ]
 
 

@@ -51,9 +51,13 @@ class RDN(nn.Module):
     rdn_config: str = 'B'
     growth0: int = 64
     kernel_size: int = 3
-    # 'cs': dense convs as CS-layout Pallas kernels (config B / 64-multiple
-    # channels only; others and unsupported shapes fall back to XLA)
-    use_pallas: bool | str = False
+    # 'cs' (default since round 3): fused whole-RDB Pallas kernels — 22.3
+    # vs 27.3 ms/step XLA at the B flagship (PERF.md). Config B /
+    # 64-multiple channels only; other configs and unsupported shapes run
+    # the same params through XLA math. NOTE: 'cs' stores a different
+    # checkpoint param tree than False (CS-arranged stacks vs per-block
+    # HWIO) — a False-tree checkpoint cannot resume under 'cs'.
+    use_pallas: bool | str = 'cs'
     dtype: Any = None
 
     @nn.compact

@@ -18,6 +18,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     import bench
+    from srtpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     model = sys.argv[1]
     kwargs = {}
     for kv in sys.argv[2:]:

@@ -13,9 +13,13 @@ from __future__ import annotations
 import sys
 import time
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 B, H, W, C, L = 16, 32, 32, 64, 16
 
