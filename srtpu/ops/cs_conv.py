@@ -776,6 +776,16 @@ def _stk(l: int, shape3):
                         memory_space=pltpu.VMEM)
 
 
+def _cp():
+    """Optional scoped-VMEM override for the resblock kernels
+    (SRTPU_VMEM_LIMIT_MB env var; experiments only)."""
+    import os
+    v = os.environ.get('SRTPU_VMEM_LIMIT_MB')
+    if not v:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(v) * 1024 * 1024)
+
+
 def _rb_fwd_kernel_stk(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, scale_ref,
                        out_ref, h1_ref, x3_ref, *, w_img, wk, skip=True):
     x = x_ref[0]
@@ -842,15 +852,19 @@ def _rb_bwd_kernel_stk(x_ref, h1_ref, g_ref, w1t_ref, w2t_ref, scale_ref,
     db1_ref[...] += jnp.sum(dh1f, axis=1, keepdims=True)
 
 
-def _rb_fwd_call_stk(x_cs, w1s, b1s, w2s, b2s, scale, l, w_img, k,
+def _rb_fwd_call_stk(x_cs, w1s, b1s, w2s, b2s, scale, w_img, k,
                      interpret=None, skip=True):
+    """w1s/b1s/w2s/b2s are (1, ...) XLA-level slices of the stacked
+    weights: every block invocation is a byte-identical Mosaic kernel,
+    so one compile serves the whole trunk (see rdb_fused_fwd)."""
     g, c, s = x_cs.shape
     blk, _ = _specs(g, c, s)
     return pl.pallas_call(
         partial(_rb_fwd_kernel_stk, w_img=w_img, wk=w_img * k, skip=skip),
         grid=(g,),
-        in_specs=[blk, _stk(l, (3 * c, 3 * c)), _stk(l, (c, 1)),
-                  _stk(l, (3 * c, 3 * c)), _stk(l, (c, 1)),
+        compiler_params=_cp(),
+        in_specs=[blk, _stk(0, (3 * c, 3 * c)), _stk(0, (c, 1)),
+                  _stk(0, (3 * c, 3 * c)), _stk(0, (c, 1)),
                   pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
         out_specs=(blk, blk),
         out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
@@ -863,7 +877,7 @@ def _rb_fwd_call_stk(x_cs, w1s, b1s, w2s, b2s, scale, l, w_img, k,
     )(x_cs, w1s, b1s, w2s, b2s, scale)
 
 
-def _rb_bwd_call_stk(x_cs, h1_cs, g_cs, w1ts, w2ts, scale, l, w_img, k,
+def _rb_bwd_call_stk(x_cs, h1_cs, g_cs, w1ts, w2ts, scale, w_img, k,
                      interpret=None, skip=True):
     g, c, s = x_cs.shape
     blk, _ = _specs(g, c, s)
@@ -873,8 +887,9 @@ def _rb_bwd_call_stk(x_cs, h1_cs, g_cs, w1ts, w2ts, scale, l, w_img, k,
     return pl.pallas_call(
         partial(_rb_bwd_kernel_stk, w_img=w_img, wk=w_img * k, skip=skip),
         grid=(g,),
-        in_specs=[blk, blk, blk, _stk(l, (3 * c, 3 * c)),
-                  _stk(l, (3 * c, 3 * c)),
+        compiler_params=_cp(),
+        in_specs=[blk, blk, blk, _stk(0, (3 * c, 3 * c)),
+                  _stk(0, (3 * c, 3 * c)),
                   pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
         out_specs=(blk, acc_w, acc_b, acc_w, acc_b),
         out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
@@ -917,7 +932,9 @@ def _trunk_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
     x = x_cs
     for l in range(w1.shape[0]):
         xs.append(x)
-        x, h1 = _rb_fwd_call_stk(x, w1s, b1s, w2s, b2s, scale, l, w_img, k)
+        x, h1 = _rb_fwd_call_stk(x, w1s[l:l + 1], b1s[l:l + 1],
+                                 w2s[l:l + 1], b2s[l:l + 1], scale,
+                                 w_img, k)
         h1s.append(h1)
     return x, xs, h1s, w1s, w2s
 
@@ -939,7 +956,8 @@ def _trunk_vjp_bwd(res_scale, w_img, k, res, g):
         [None] * l_blocks, [None] * l_blocks
     for l in reversed(range(l_blocks)):
         g, dw1t, db1t, dw2t, db2t = _rb_bwd_call_stk(
-            xs[l], h1s[l], g, w1ts, w2ts, scale, l, w_img, k)
+            xs[l], h1s[l], g, w1ts[l:l + 1], w2ts[l:l + 1], scale,
+            w_img, k)
         # (3, C, 3C) [(dy),(c_out),(dx,c_in)] reshapes to the (3C, 3C)
         # CS arrangement exactly — free
         dw1[l], db1[l] = dw1t.reshape(3 * c, 3 * c), db1t[:, 0]
@@ -1575,17 +1593,19 @@ def _rcab_bwd_kernel(x_ref, h1_ref, r2_ref, g_ref, w1t_ref, w2t_ref,
 
 
 def _rcab_fwd_call(x_cs, w1s, b1s, w2s, b2s, wdts, bds, wuts, bus,
-                   l, w_img, k, interpret=None):
+                   w_img, k, interpret=None):
+    # weights are (1, ...) XLA-level slices -> one Mosaic kernel serves
+    # every RCAB in every group (see rdb_fused_fwd on kernel dedupe)
     g, c, s = x_cs.shape
     cr = wdts.shape[1]
     blk, _ = _specs(g, c, s)
     return pl.pallas_call(
         partial(_rcab_fwd_kernel, w_img=w_img, wk=w_img * k, k=k),
         grid=(g,),
-        in_specs=[blk, _stk(l, (3 * c, 3 * c)), _stk(l, (c, 1)),
-                  _stk(l, (3 * c, 3 * c)), _stk(l, (c, 1)),
-                  _stk(l, (cr, c)), _stk(l, (cr, 1)),
-                  _stk(l, (c, cr)), _stk(l, (c, 1))],
+        in_specs=[blk, _stk(0, (3 * c, 3 * c)), _stk(0, (c, 1)),
+                  _stk(0, (3 * c, 3 * c)), _stk(0, (c, 1)),
+                  _stk(0, (cr, c)), _stk(0, (cr, 1)),
+                  _stk(0, (c, cr)), _stk(0, (c, 1))],
         out_specs=(blk, blk, blk),
         out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),) * 3,
         scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)],
@@ -1597,7 +1617,7 @@ def _rcab_fwd_call(x_cs, w1s, b1s, w2s, b2s, wdts, bds, wuts, bus,
 
 
 def _rcab_bwd_call(x_cs, h1_cs, r2_cs, g_cs, w1ts, w2ts,
-                   wds, wdts, wus, wuts, bds, bus, l, w_img, k,
+                   wds, wdts, wus, wuts, bds, bus, w_img, k,
                    interpret=None):
     g, c, s = x_cs.shape
     cr = wdts.shape[1]
@@ -1608,10 +1628,10 @@ def _rcab_bwd_call(x_cs, h1_cs, r2_cs, g_cs, w1ts, w2ts,
         partial(_rcab_bwd_kernel, w_img=w_img, wk=w_img * k, k=k),
         grid=(g,),
         in_specs=[blk, blk, blk, blk,
-                  _stk(l, (3 * c, 3 * c)), _stk(l, (3 * c, 3 * c)),
-                  _stk(l, (c, cr)), _stk(l, (cr, c)),
-                  _stk(l, (cr, c)), _stk(l, (c, cr)),
-                  _stk(l, (cr, 1)), _stk(l, (c, 1))],
+                  _stk(0, (3 * c, 3 * c)), _stk(0, (3 * c, 3 * c)),
+                  _stk(0, (c, cr)), _stk(0, (cr, c)),
+                  _stk(0, (cr, c)), _stk(0, (c, cr)),
+                  _stk(0, (cr, 1)), _stk(0, (c, 1))],
         out_specs=(blk, acc(3, c, 3 * c), acc(c, 1), acc(3, c, 3 * c),
                    acc(c, 1), acc(c, cr), acc(cr, 1), acc(cr, c),
                    acc(c, 1)),
@@ -1656,8 +1676,10 @@ def _rg_fwd(x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc, h_img, w_img, k):
     x = x_cs
     for l in range(w1.shape[0]):
         xs.append(x)
-        x, h1, r2 = _rcab_fwd_call(x, w1s, b1s, w2s, b2s, wdts, bds,
-                                   wuts, bus, l, w_img, k)
+        sl = slice(l, l + 1)
+        x, h1, r2 = _rcab_fwd_call(x, w1s[sl], b1s[sl], w2s[sl],
+                                   b2s[sl], wdts[sl], bds[sl],
+                                   wuts[sl], bus[sl], w_img, k)
         h1s.append(h1); r2s.append(r2)
     x_close = x
     r = conv3x3_cs_fwd(x_close, wc.astype(dt),
@@ -1691,9 +1713,10 @@ def _rg_vjp_bwd(h_img, w_img, k, res, g_out):
     outs = {n: [None] * l_blocks
             for n in ('w1', 'b1', 'w2', 'b2', 'wd', 'bd', 'wu', 'bu')}
     for l in reversed(range(l_blocks)):
+        sl = slice(l, l + 1)
         (g, dw1t, db1t, dw2t, db2t, dwd, dbd, dwu, dbu) = _rcab_bwd_call(
-            xs[l], h1s[l], r2s[l], g, w1ts, w2ts, wd, wdts, wu, wuts,
-            bds, bus, l, w_img, k)
+            xs[l], h1s[l], r2s[l], g, w1ts[sl], w2ts[sl], wd[sl],
+            wdts[sl], wu[sl], wuts[sl], bds[sl], bus[sl], w_img, k)
         outs['w1'][l] = dw1t.reshape(3 * c, 3 * c)
         outs['b1'][l] = db1t[:, 0]
         outs['w2'][l] = dw2t.reshape(3 * c, 3 * c)

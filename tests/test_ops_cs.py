@@ -372,7 +372,8 @@ def test_wide_cin_conv_bwd_chunked():
 
 
 def test_rdn_cs_matches_default(monkeypatch):
-    """RDN(use_pallas='cs') == RDN(default) given identical params."""
+    """RDN(use_pallas='cs') == RDN(use_pallas=False) given identical
+    params ('cs' is the model default since round 3)."""
     import srtpu.models.rdn as rdn_mod
     from srtpu.models import create_model
     from srtpu.ops.cs_conv import w_cs, w_cs_batch
@@ -380,7 +381,7 @@ def test_rdn_cs_matches_default(monkeypatch):
     rng = np.random.default_rng(33)
     x = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32)
     kw = dict(scale_factor=2, rdn_config='T', growth0=16)
-    m_ref = create_model('RDN', **kw)
+    m_ref = create_model('RDN', use_pallas=False, **kw)
     m_cs = create_model('RDN', use_pallas='cs', **kw)
     p_ref = m_ref.init(jax.random.PRNGKey(0), x)
     p_cs = m_cs.init(jax.random.PRNGKey(0), x)

@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 B, H, W, C, L = 16, 32, 32, 64, 16
 
 
-def time_fn(fn, *args, chain=30, small=3, big=9):
+def time_fn(fn, *args, chain=30, small=20, big=120):
     out = fn(*args)
     jax.tree_util.tree_map(
         lambda a: float(jnp.asarray(a).ravel()[0].astype(jnp.float32)), out)
@@ -69,6 +69,8 @@ def build(k):
 
 
 def main():
+    from srtpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     ks = [int(a) for a in sys.argv[1:]] or [4, 8]
     for k in ks:
         try:
