@@ -58,8 +58,11 @@ def build(model_name: str, kwargs: dict):
     from srtpu.optim import build_optimizer
     from srtpu.train import create_train_state, make_train_step
 
+    kwargs = dict(kwargs)
+    dtype = kwargs.pop('dtype', 'bf16')
     model = create_model(model_name, scale_factor=SCALE,
-                         dtype=jnp.bfloat16, **kwargs)
+                         dtype=jnp.bfloat16 if dtype == 'bf16' else None,
+                         **kwargs)
     composite = parse_losses('l1')
     tx = build_optimizer('ADAM', ['lr=1e-4'])
 

@@ -576,3 +576,112 @@ def bicubic_resize(x: jax.Array, out_hw: tuple[int, int], a: float = -0.75,
     y = jnp.einsum('pw,bhwc->bhpc', mw, y,
                    preferred_element_type=jnp.float32)
     return y.astype(x.dtype)
+
+
+class CSBNTrunk(nn.Module):
+    """SRResNet trunk (BN resblocks + closing conv/BN + global skip) on the
+    fused CS kernel path (srtpu.ops.bn_resblock_cs).
+
+    The XLA path pays ~162 layout-copy ops per BN block (profiled, PERF.md
+    round 3); here each block is six pallas_calls (3 fwd / 3 bwd) with the
+    batch-stat reductions accumulated in-kernel across the sequential grid.
+    Same math as [ResBlock(norm='batch', act=PReLU) x n + BasicBlock(
+    norm='batch', act=None) + skip] — reference models/srresnet.py:9-36.
+
+    Weights are stored stacked and CS-arranged (L, 3C, 3C) like CSTrunk;
+    running stats live in the 'batch_stats' collection (flax BatchNorm
+    semantics: momentum 0.9, eps 1e-5, biased batch variance). Training
+    mode on unsupported shapes (or off-TPU) falls back to XLA convs with
+    identical manual-BN math; eval mode always runs the XLA path with
+    running stats (eval images don't fit the packing anyway).
+    """
+
+    n_feats: int = 64
+    n_resblocks: int = 16
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from srtpu.ops.bn_resblock_cs import (bn_close_cs, bn_close_ref,
+                                              bn_resblock_cs,
+                                              bn_resblock_ref)
+        from srtpu.ops.cs_conv import (cs_plan, cs_to_nhwc, nhwc_to_cs,
+                                       w_hwio_from_cs)
+        n, nb = self.n_feats, self.n_resblocks
+        bound = 1.0 / math.sqrt(9 * n)
+        ones = nn.initializers.ones
+        zeros = nn.initializers.zeros
+        w1 = self.param('w1', torch_uniform_init(bound), (nb, 3 * n, 3 * n))
+        b1 = self.param('b1', torch_uniform_init(bound), (nb, n))
+        ga1 = self.param('bn1_scale', ones, (nb, n))
+        be1 = self.param('bn1_bias', zeros, (nb, n))
+        alpha = self.param(
+            'alpha', lambda key, shape: jnp.full(shape, 0.25, jnp.float32),
+            (nb, 1))
+        w2 = self.param('w2', torch_uniform_init(bound), (nb, 3 * n, 3 * n))
+        b2 = self.param('b2', torch_uniform_init(bound), (nb, n))
+        ga2 = self.param('bn2_scale', ones, (nb, n))
+        be2 = self.param('bn2_bias', zeros, (nb, n))
+        wc = self.param('close_w', torch_uniform_init(bound),
+                        (1, 3 * n, 3 * n))
+        bc = self.param('close_b', torch_uniform_init(bound), (1, n))
+        gac = self.param('close_bn_scale', ones, (1, n))
+        bec = self.param('close_bn_bias', zeros, (1, n))
+
+        rm1 = self.variable('batch_stats', 'mean1',
+                            lambda: jnp.zeros((nb, n), jnp.float32))
+        rv1 = self.variable('batch_stats', 'var1',
+                            lambda: jnp.ones((nb, n), jnp.float32))
+        rm2 = self.variable('batch_stats', 'mean2',
+                            lambda: jnp.zeros((nb, n), jnp.float32))
+        rv2 = self.variable('batch_stats', 'var2',
+                            lambda: jnp.ones((nb, n), jnp.float32))
+        rmc = self.variable('batch_stats', 'mean_close',
+                            lambda: jnp.zeros((1, n), jnp.float32))
+        rvc = self.variable('batch_stats', 'var_close',
+                            lambda: jnp.ones((1, n), jnp.float32))
+
+        dtype = self.dtype or x.dtype
+        xd = x.astype(dtype)
+        plan = cs_plan(x.shape) if train else None
+        m1, v1, m2, v2 = [], [], [], []
+
+        if plan is None:
+            w1h = w_hwio_from_cs(w1, n, n)
+            w2h = w_hwio_from_cs(w2, n, n)
+            wch = w_hwio_from_cs(wc, n, n)[0]
+            u = xd
+            for i in range(nb):
+                u, st = bn_resblock_ref(
+                    u, w1h[i], b1[i], ga1[i], be1[i], alpha[i],
+                    w2h[i], b2[i], ga2[i], be2[i], train,
+                    rm1.value[i], rv1.value[i], rm2.value[i], rv2.value[i])
+                m1.append(st[0]); v1.append(st[1])
+                m2.append(st[2]); v2.append(st[3])
+            out, stc = bn_close_ref(u, xd, wch, bc[0], gac[0], bec[0],
+                                    train, rmc.value[0], rvc.value[0])
+        else:
+            k, _ = plan
+            w_img = x.shape[2]
+            xc = nhwc_to_cs(xd, k)
+            u = xc
+            for i in range(nb):
+                u, st = bn_resblock_cs(
+                    u, w1[i:i + 1], b1[i:i + 1], ga1[i:i + 1],
+                    be1[i:i + 1], alpha[i:i + 1], w2[i:i + 1], b2[i:i + 1],
+                    ga2[i:i + 1], be2[i:i + 1], w_img, k)
+                m1.append(st[0]); v1.append(st[1])
+                m2.append(st[2]); v2.append(st[3])
+            out_cs, stc = bn_close_cs(u, xc, wc, bc, gac, bec, w_img, k)
+            out = cs_to_nhwc(out_cs, k, x.shape[1], w_img)
+
+        if train and not self.is_initializing():
+            mom = 0.9
+            upd = lambda ra, batch: mom * ra + (1 - mom) * batch
+            rm1.value = upd(rm1.value, jnp.stack(m1))
+            rv1.value = upd(rv1.value, jnp.stack(v1))
+            rm2.value = upd(rm2.value, jnp.stack(m2))
+            rv2.value = upd(rv2.value, jnp.stack(v2))
+            rmc.value = upd(rmc.value, stc[0][None])
+            rvc.value = upd(rvc.value, stc[1][None])
+        return out

@@ -3,6 +3,10 @@
 Capability parity with reference models/srresnet.py:9-36: 9x9 head conv with
 PReLU, n_resblocks batch-norm ResBlocks + closing conv/BN with a global skip,
 sub-pixel upscale tail with PReLU, and a 9x9 output conv.
+
+``use_pallas='cs'`` runs the BN trunk on the fused CS kernel path
+(srtpu.ops.bn_resblock_cs) — same math, different parameter tree (stacked
+CS-arranged weights, see CSBNTrunk).
 """
 
 from __future__ import annotations
@@ -11,7 +15,8 @@ from typing import Any
 
 from flax import linen as nn
 
-from .common import (BasicBlock, Conv2d, PReLU, ResBlock, UpscaleBlock)
+from .common import (BasicBlock, Conv2d, CSBNTrunk, PReLU, ResBlock,
+                     UpscaleBlock)
 
 
 class SRResNet(nn.Module):
@@ -19,6 +24,7 @@ class SRResNet(nn.Module):
     channels: int = 3
     n_feats: int = 64
     n_resblocks: int = 16
+    use_pallas: Any = False
     dtype: Any = None
 
     @nn.compact
@@ -26,14 +32,19 @@ class SRResNet(nn.Module):
         x = BasicBlock(self.n_feats, kernel_size=9, act=PReLU,
                        dtype=self.dtype)(x, train)
 
-        res = x
-        for _ in range(self.n_resblocks):
-            res = ResBlock(n_feats=self.n_feats, kernel_size=3,
-                           n_conv_layers=2, norm='batch', act=PReLU,
-                           dtype=self.dtype)(res, train)
-        res = BasicBlock(self.n_feats, kernel_size=3, norm='batch', act=None,
-                         dtype=self.dtype)(res, train)
-        x = res + x
+        if self.use_pallas == 'cs':
+            x = CSBNTrunk(n_feats=self.n_feats,
+                          n_resblocks=self.n_resblocks,
+                          dtype=self.dtype)(x, train)
+        else:
+            res = x
+            for _ in range(self.n_resblocks):
+                res = ResBlock(n_feats=self.n_feats, kernel_size=3,
+                               n_conv_layers=2, norm='batch', act=PReLU,
+                               dtype=self.dtype)(res, train)
+            res = BasicBlock(self.n_feats, kernel_size=3, norm='batch',
+                             act=None, dtype=self.dtype)(res, train)
+            x = res + x
 
         x = UpscaleBlock(self.scale_factor, self.n_feats, act=PReLU,
                          dtype=self.dtype)(x)
