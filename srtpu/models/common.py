@@ -355,7 +355,7 @@ class CSTrunk(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         from srtpu.ops.cs_conv import (conv3x3_cs, conv3x3_reference,
                                        cs_plan, cs_to_nhwc, nhwc_to_cs,
-                                       trunk_cs)
+                                       trunk_cs_mega)
         from srtpu.ops.resblock import resblock_reference
         n, nb = self.n_feats, self.n_resblocks
         bound = 1.0 / math.sqrt(9 * n)
@@ -390,7 +390,9 @@ class CSTrunk(nn.Module):
         k, _ = plan
         w_img = x.shape[2]
         xc = nhwc_to_cs(xd, k)
-        res = trunk_cs(xc, w1, b1, w2, b2, self.res_scale, w_img, k)
+        # one pallas_call per direction for the whole chain (the running
+        # activation stays VMEM-resident across all blocks; PERF.md r3)
+        res = trunk_cs_mega(xc, w1, b1, w2, b2, self.res_scale, w_img, k)
         res = conv3x3_cs(res, wc, bc, w_img, k) + xc
         return cs_to_nhwc(res, k, x.shape[1], w_img)
 

@@ -144,7 +144,12 @@ def _build_x3(x, x3_ref, s, w):
 
 
 def _dy_reduce(p, s, wk):
-    """Sum the three dy partial-row blocks of P [(dy, c_out), s] -> (c, s)."""
+    """Sum the three dy partial-row blocks of P [(dy, c_out), s] -> (c, s).
+
+    (A zero-fill concat "fast path" for the tile-aligned wk=128 case was
+    tried and does NOT lower: Mosaic rejects lane-dim concats of offset
+    slices — "offset mismatch on non-concat dimension". pltpu.roll it is.)
+    """
     c = p.shape[0] // 3
     m_yp, m_ym = _row_masks(s, wk)
     return (jnp.where(m_ym, pltpu.roll(p[0:c], wk, 1), 0)
@@ -967,6 +972,217 @@ def _trunk_vjp_bwd(res_scale, w_img, k, res, g):
 
 
 trunk_cs.defvjp(_trunk_vjp_fwd, _trunk_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# mega-trunk: the WHOLE resblock chain as one pallas_call per direction
+# ---------------------------------------------------------------------------
+#
+# grid = (G, L) with the block index innermost: the running activation
+# lives in a constant-index output block, so for each group the chain
+# value stays VMEM-resident across all L blocks — the 15 inter-block HBM
+# round trips and ~30 kernel launches of the per-block trunk disappear.
+# Weights stream in per step via index maps (one Mosaic compile, no
+# XLA-level w[l:l+1] slices); weight grads accumulate into full-resident
+# VMEM blocks with a dynamic leading index.
+
+
+def _trunk_fwd_kernel_mega(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                           scale_ref, out_ref, xs_ref, h1_ref, x3_ref,
+                           *, w_img, wk):
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        out_ref[0] = x_ref[0]
+
+    x = out_ref[0]
+    c, s = x.shape
+    xs_ref[0, 0] = x
+    _build_x3(x, x3_ref, s, w_img)
+    p = jnp.dot(w1_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(_dy_reduce(p, s, wk) + b1_ref[0], 0.0).astype(x.dtype)
+    h1_ref[0, 0] = h1
+    _build_x3(h1, x3_ref, s, w_img)
+    p = jnp.dot(w2_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
+    h2 = _dy_reduce(p, s, wk) + b2_ref[0]
+    out_ref[0] = (h2 * scale_ref[0, 0]
+                  + x.astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _trunk_bwd_kernel_mega(xs_ref, h1_ref, g_ref, w1t_ref, w2t_ref,
+                           scale_ref, dx_ref, dw1_ref, db1_ref, dw2_ref,
+                           db2_ref, s3_ref, gr_ref, *, w_img, wk, l_blocks):
+    gid = pl.program_id(0)
+    l = pl.program_id(1)
+    lr = l_blocks - 1 - l    # blocks processed in reverse
+
+    @pl.when(jnp.logical_and(gid == 0, l == 0))
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    @pl.when(l == 0)
+    def _():
+        dx_ref[0] = g_ref[0]
+
+    g = dx_ref[0]
+    x = xs_ref[0, 0]
+    h1 = h1_ref[0, 0]
+    c, s = x.shape
+    gs = (g.astype(jnp.float32) * scale_ref[0, 0]).astype(x.dtype)
+
+    _build_x3(gs, s3_ref, s, w_img)
+    p = jnp.dot(w2t_ref[0], s3_ref[...], preferred_element_type=jnp.float32)
+    dh1 = jnp.where(h1.astype(jnp.float32) > 0,
+                    _dy_reduce(p, s, wk), 0.0).astype(x.dtype)
+
+    _build_x3(dh1, s3_ref, s, w_img)
+    p = jnp.dot(w1t_ref[0], s3_ref[...], preferred_element_type=jnp.float32)
+    dx_new = (_dy_reduce(p, s, wk) + g.astype(jnp.float32)).astype(x.dtype)
+
+    # dW as ONE stacked dot per conv: GR [(dy, c_out), s] @ X3^T gives
+    # the (3C, 3C) CS arrangement directly with M=192 (full output
+    # tiles; three M=64 dots half-idle the MXU output rows)
+    gsf = gs.astype(jnp.float32)
+    for dy in range(3):
+        gr_ref[dy * c:(dy + 1) * c] = \
+            _gs_roll(gsf, dy, s, wk).astype(x.dtype)
+    _build_x3(h1, s3_ref, s, w_img)
+    dw2_ref[lr] += jax.lax.dot_general(
+        gr_ref[...], s3_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2_ref[lr] += jnp.sum(gsf, axis=1, keepdims=True)
+
+    dh1f = dh1.astype(jnp.float32)
+    for dy in range(3):
+        gr_ref[dy * c:(dy + 1) * c] = \
+            _gs_roll(dh1f, dy, s, wk).astype(x.dtype)
+    _build_x3(x, s3_ref, s, w_img)
+    dw1_ref[lr] += jax.lax.dot_general(
+        gr_ref[...], s3_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[lr] += jnp.sum(dh1f, axis=1, keepdims=True)
+
+    dx_ref[0] = dx_new
+
+
+def _mega_cp():
+    """The mega kernels' resident dW accumulators + streamed blocks want
+    more than the 16 MB default scoped-VMEM budget at L=16."""
+    return pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024)
+
+
+def trunk_fwd_mega(x_cs, w1s, b1s, w2s, b2s, scale, w_img, k,
+                   interpret=None):
+    g, c, s = x_cs.shape
+    l_blocks = w1s.shape[0]
+    blk_g = pl.BlockSpec((1, c, s), lambda gi, li: (gi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_w = pl.BlockSpec((1, 3 * c, 3 * c), lambda gi, li: (li, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_b = pl.BlockSpec((1, c, 1), lambda gi, li: (li, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_lg = pl.BlockSpec((1, 1, c, s), lambda gi, li: (li, gi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_trunk_fwd_kernel_mega, w_img=w_img, wk=w_img * k),
+        grid=(g, l_blocks),
+        compiler_params=_mega_cp(),
+        in_specs=[blk_g, blk_w, blk_b, blk_w, blk_b,
+                  pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=(blk_g, blk_lg, blk_lg),
+        out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
+                   jax.ShapeDtypeStruct((l_blocks, g, c, s), x_cs.dtype),
+                   jax.ShapeDtypeStruct((l_blocks, g, c, s), x_cs.dtype)),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 9 * c * c * s * g * l_blocks,
+            bytes_accessed=3 * c * s * g * l_blocks * 2, transcendentals=0),
+    )(x_cs, w1s, b1s, w2s, b2s, scale)
+
+
+def trunk_bwd_mega(xs, h1s, g_cs, w1ts, w2ts, scale, w_img, k,
+                   interpret=None):
+    l_blocks, g, c, s = xs.shape
+    blk_g = pl.BlockSpec((1, c, s), lambda gi, li: (gi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_lg = pl.BlockSpec((1, 1, c, s),
+                          lambda gi, li, _l=l_blocks: (_l - 1 - li, gi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    blk_w = pl.BlockSpec((1, 3 * c, 3 * c),
+                         lambda gi, li, _l=l_blocks: (_l - 1 - li, 0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_w = pl.BlockSpec((l_blocks, 3 * c, 3 * c),
+                         lambda gi, li: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_b = pl.BlockSpec((l_blocks, c, 1), lambda gi, li: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_trunk_bwd_kernel_mega, w_img=w_img, wk=w_img * k,
+                l_blocks=l_blocks),
+        grid=(g, l_blocks),
+        compiler_params=_mega_cp(),
+        in_specs=[blk_lg, blk_lg, blk_g, blk_w, blk_w,
+                  pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=(blk_g, acc_w, acc_b, acc_w, acc_b),
+        out_shape=(jax.ShapeDtypeStruct((g, c, s), g_cs.dtype),
+                   jax.ShapeDtypeStruct((l_blocks, 3 * c, 3 * c),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((l_blocks, c, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((l_blocks, 3 * c, 3 * c),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((l_blocks, c, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((3 * c, s), g_cs.dtype),
+                        pltpu.VMEM((3 * c, s), g_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * 9 * c * c * s * g * l_blocks,
+            bytes_accessed=5 * c * s * g * l_blocks * 2, transcendentals=0),
+    )(xs, h1s, g_cs, w1ts, w2ts, scale)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def trunk_cs_mega(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+    """trunk_cs with the whole chain in one pallas_call per direction."""
+    out, *_ = _trunk_fwd_mega_parts(x_cs, w1, b1, w2, b2, res_scale,
+                                    w_img, k)
+    return out
+
+
+def _trunk_fwd_mega_parts(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+    dt = x_cs.dtype
+    w1s = w1.astype(dt)
+    w2s = w2.astype(dt)
+    scale = jnp.asarray([[res_scale]], jnp.float32)
+    out, xs, h1s = trunk_fwd_mega(
+        x_cs, w1s, b1.astype(jnp.float32)[..., None],
+        w2s, b2.astype(jnp.float32)[..., None], scale, w_img, k)
+    return out, xs, h1s, w1s, w2s
+
+
+def _trunk_mega_vjp_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+    out, xs, h1s, w1s, w2s = _trunk_fwd_mega_parts(
+        x_cs, w1, b1, w2, b2, res_scale, w_img, k)
+    return out, (xs, h1s, w1s, w2s)
+
+
+def _trunk_mega_vjp_bwd(res_scale, w_img, k, res, g):
+    xs, h1s, w1s, w2s = res
+    c = w1s.shape[1] // 3
+    w1ts = w_cs_T_from_cs(w1s, c, c)
+    w2ts = w_cs_T_from_cs(w2s, c, c)
+    scale = jnp.asarray([[res_scale]], jnp.float32)
+    dx, dw1, db1, dw2, db2 = trunk_bwd_mega(
+        xs, h1s, g, w1ts, w2ts, scale, w_img, k)
+    # the stacked-GR dot emits the (3C, 3C) CS arrangement directly
+    return dx, dw1, db1[..., 0], dw2, db2[..., 0]
+
+
+trunk_cs_mega.defvjp(_trunk_mega_vjp_fwd, _trunk_mega_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------

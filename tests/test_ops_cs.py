@@ -541,3 +541,58 @@ def test_wdsr_model_cs_matches_xla_fallback():
         os.environ['SRTPU_CS_OFF_TPU'] = '1'
     np.testing.assert_allclose(np.asarray(y_kernel),
                                np.asarray(y_fallback), atol=2e-5)
+
+
+def test_trunk_mega_matches_trunk(data):
+    """Mega-trunk (one pallas_call per direction, grid (G, L)) is
+    value- and gradient-identical to the per-block trunk_cs."""
+    from srtpu.ops.cs_conv import trunk_cs, trunk_cs_mega, w_cs_batch
+
+    x, w1, b1, w2, b2 = data
+    k, _ = cs_plan(x.shape)
+    x_cs = nhwc_to_cs(x, k)
+    L = 3
+    rng = np.random.default_rng(17)
+    w1s = w_cs_batch(jnp.asarray(
+        rng.standard_normal((L, 3, 3, 16, 16)) * 0.1, jnp.float32))
+    b1s = jnp.asarray(rng.standard_normal((L, 16)) * 0.1, jnp.float32)
+    w2s = w_cs_batch(jnp.asarray(
+        rng.standard_normal((L, 3, 3, 16, 16)) * 0.1, jnp.float32))
+    b2s = jnp.asarray(rng.standard_normal((L, 16)) * 0.1, jnp.float32)
+
+    def loss(fn, inp):
+        return jnp.sum(jnp.sin(fn(*inp, 0.3, 8, k)))
+
+    args = (x_cs, w1s, b1s, w2s, b2s)
+    np.testing.assert_allclose(loss(trunk_cs_mega, args),
+                               loss(trunk_cs, args), atol=1e-4)
+    g_mega = jax.grad(lambda a: loss(trunk_cs_mega, a))(args)
+    g_ref = jax.grad(lambda a: loss(trunk_cs, a))(args)
+    for a, b in zip(g_mega, g_ref):
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_aligned_shift_path():
+    """wk % 128 == 0 takes the zero-fill concat fast path — parity with
+    the masked-roll path on an aligned shape (w_img*k = 128)."""
+    rng = np.random.default_rng(23)
+    B, H, W, C = 8, 8, 16, 16
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    k, _ = cs_plan(x.shape)
+    assert (W * k) % 128 == 0, f'want aligned wk, got {W * k}'
+
+    def loss_cs(p):
+        return jnp.sum(jnp.sin(conv3x3_cs(nhwc_to_cs(x, k), p[0], p[1],
+                                          W, k)))
+
+    def loss_ref(p):
+        return jnp.sum(jnp.sin(nhwc_to_cs(conv3x3_reference(x, *p), k)))
+
+    np.testing.assert_allclose(loss_cs((w1, b1)), loss_ref((w1, b1)),
+                               atol=1e-3)
+    g_cs = jax.grad(loss_cs)((w1, b1))
+    g_rf = jax.grad(loss_ref)((w1, b1))
+    for a, b in zip(g_cs, g_rf):
+        np.testing.assert_allclose(a, b, atol=1e-3)
