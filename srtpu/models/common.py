@@ -417,9 +417,10 @@ class CSUpscaleTail(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from srtpu.ops.cs_conv import (conv3x3_cs_pre, cs_plan, cs_regroup,
-                                       cs_to_nhwc, nhwc_to_cs, upsample_cs,
-                                       w_hwio_from_cs)
+        from srtpu.ops.cs_conv import (conv3x3_cs, conv3x3_cs_pre, cs_plan,
+                                       cs_regroup, nhwc_to_cs, pm_to_nhwc,
+                                       upsample_cs, w_hwio_from_cs,
+                                       w_phase_dense, w_pm_cs)
         n = self.n_feats
         assert self.scale_factor in (2, 3, 4, 8)
         rs = [3] if self.scale_factor == 3 else \
@@ -446,7 +447,9 @@ class CSUpscaleTail(nn.Module):
         if ok:
             k, hh, ww = plan[0], h, w
             for r in rs[:-1]:
-                if hh * ww * k > 4096:
+                # interleave pieces must be lane-tile aligned: r*wk % 128
+                # (Mosaic rejects offset-mismatched sub-tile concats)
+                if hh * ww * k > 4096 or (r * ww * k) % 128:
                     ok = False
                     break
                 hh, ww = hh * r, ww * r
@@ -454,10 +457,12 @@ class CSUpscaleTail(nn.Module):
                 if not k:
                     ok = False
                     break
-            # last stage feeds the final conv directly (k=1 is always a
-            # valid packing for it; the conv kernel takes S <= 16384)
+            # the last stage stays PHASE-MAJOR at coarse resolution
+            # (S unchanged); its wide channel count r^2*C must be
+            # 64-divisible for the kernels' chunked paths
+            pm_c = rs[-1] ** 2 * n
             ok = ok and hh * ww * k <= 4096 \
-                and rs[-1] ** 2 * hh * ww * k <= 16384
+                and (pm_c <= 128 or pm_c % 64 == 0)
 
         if not ok:
             y = xd
@@ -470,15 +475,32 @@ class CSUpscaleTail(nn.Module):
         k = plan[0]
         hh, ww = h, w
         y = nhwc_to_cs(xd, k)
-        for i, r in enumerate(rs):
+        for i, r in enumerate(rs[:-1]):
+            # NOTE regrouping BEFORE the stage (r^2 x less copy traffic)
+            # was tried and fails to lower: at k=1 the interleave's
+            # 32-lane slices hit Mosaic's "offset mismatch on non-concat
+            # dimension" — the stage must run with wk a multiple of 128
             y = upsample_cs(y, ws[i], bs[i], ww, k, hh, r)
             hh, ww = hh * r, ww * r
-            if i < len(rs) - 1:
-                k_new = cs_plan((b, hh, ww, n))[0]
-                y = cs_regroup(y, k, k_new, hh, ww)
-                k = k_new
-        y = conv3x3_cs_pre(y, wf, bf, ww, k)
-        return cs_to_nhwc(y, k, hh, ww)
+            k_new = cs_plan((b, hh, ww, n))[0]
+            y = cs_regroup(y, k, k_new, hh, ww)
+            k = k_new
+        # last stage: plain wide conv with phase-major outputs — the lane
+        # interleave (and its backward de-interleave) never happens
+        r = rs[-1]
+        y = conv3x3_cs_pre(y, w_pm_cs(ws[-1], n, r), bs[-1].reshape(-1),
+                           ww, k)
+        # final 3-channel conv as a phase-dense COARSE conv: the fine 3x3
+        # becomes a coarse 3x3 over r^2*C phase-major channels (pixel
+        # shuffle absorbed into the weight scatter; c_out padded to 16)
+        wfh = w_hwio_from_cs(wf[None], n, self.channels)[0]
+        wpd = w_phase_dense(wfh, r)
+        co = wpd.shape[3]
+        bpd = jnp.concatenate(
+            [jnp.tile(bf, r * r),
+             jnp.zeros(co - r * r * self.channels, bf.dtype)])
+        y = conv3x3_cs(y, wpd, bpd, ww, k)
+        return pm_to_nhwc(y, r, self.channels, k, hh, ww)
 
 
 def _xla_upstage(y, w_arr, b_arr, n, r, dtype):

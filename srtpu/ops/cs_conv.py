@@ -177,12 +177,28 @@ def _gs_roll(gf, dy, s, wk):
 
 
 def _conv_fwd_kernel(x_ref, w_ref, b_ref, out_ref, x3_ref, *, w_img, wk,
-                     stk=False, relu=False):
+                     stk=False, relu=False, co_chunk=0):
     x = x_ref[0]
     c, s = x.shape
     _build_x3(x, x3_ref, s, w_img)
     w = w_ref[0] if stk else w_ref[...]
     b = b_ref[0] if stk else b_ref[...]
+    if co_chunk:
+        # wide c_out (phase-major upscale conv): the full (3*C_out, S)
+        # f32 partial would blow VMEM — chunk the output channels
+        # (w rows are (dy, c_out)-ordered, so a chunk is 3 row slices)
+        co = out_ref.shape[1]
+        for j in range(co // co_chunk):
+            wj = jnp.concatenate(
+                [w[dy * co + j * co_chunk:dy * co + (j + 1) * co_chunk]
+                 for dy in range(3)], axis=0)
+            p = jnp.dot(wj, x3_ref[...], preferred_element_type=jnp.float32)
+            outj = _dy_reduce(p, s, wk) + b[j * co_chunk:(j + 1) * co_chunk]
+            if relu:
+                outj = jnp.maximum(outj, 0.0)
+            out_ref[0, j * co_chunk:(j + 1) * co_chunk] = \
+                outj.astype(out_ref.dtype)
+        return
     p = jnp.dot(w, x3_ref[...], preferred_element_type=jnp.float32)
     out = _dy_reduce(p, s, wk) + b
     if relu:
@@ -225,26 +241,41 @@ def _conv_bwd_kernel(x_ref, g_ref, wt_ref, dx_ref, dwt_ref, db_ref,
         db_ref[...] = jnp.zeros_like(db_ref)
 
     grs = [_gs_roll(gf, dy, s, wk).astype(x.dtype) for dy in range(3)]
+    c_out = g.shape[0]
+    # small c_out (3-channel final conv, padded to 16): three M=c_out dW
+    # dots run the MXU at c_out/128 utilisation — stack the dy-rolled g
+    # blocks into ONE M=3*c_out dot and slice the result rows instead
+    stack_dy = 3 * c_out <= 128
+    if stack_dy:
+        grs = [jnp.concatenate(grs, axis=0)]
     if c <= 128:
         _build_x3(x, x3_ref, s, w_img)
         x3 = x3_ref[...]
-        for dy in range(3):
-            dwt_ref[dy] += jax.lax.dot_general(
-                grs[dy], x3, (((1,), (1,)), ((), ())),
+        for di, gr in enumerate(grs):
+            dw = jax.lax.dot_general(
+                gr, x3, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if stack_dy:
+                for dy in range(3):
+                    dwt_ref[dy] += dw[dy * c_out:(dy + 1) * c_out]
+            else:
+                dwt_ref[di] += dw
     else:
         # wide c_in: per-64-channel chunks, small (192, S) im2col scratch
         # (the x3_ref scratch is allocated at chunk size in this mode)
         for j in range(c // 64):
             _build_x3(x[j * 64:(j + 1) * 64], x3_ref, s, w_img)
             x3j = x3_ref[...]
-            for dy in range(3):
+            for di, gr in enumerate(grs):
                 dw = jax.lax.dot_general(
-                    grs[dy], x3j, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (c_out, 192)
-                for dxx in range(3):
-                    dwt_ref[dy, :, dxx * c + j * 64:dxx * c + (j + 1) * 64] \
-                        += dw[:, dxx * 64:(dxx + 1) * 64]
+                    gr, x3j, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (M, 192)
+                for dy in (range(3) if stack_dy else [di]):
+                    dwj = dw[dy * c_out:(dy + 1) * c_out] if stack_dy else dw
+                    for dxx in range(3):
+                        dwt_ref[dy, :,
+                                dxx * c + j * 64:dxx * c + (j + 1) * 64] \
+                            += dwj[:, dxx * 64:(dxx + 1) * 64]
     db_ref[...] += jnp.sum(gf, axis=1, keepdims=True)
 
 
@@ -263,14 +294,25 @@ def conv3x3_cs_fwd(x_cs, w2, b, w_img, k, interpret=None):
     """x_cs (G, C, S) bf16/f32; w2 (3C', 3C) CS-arranged; b (C', 1)."""
     g, c, s = x_cs.shape
     c_out = w2.shape[0] // 3
+    # chunk wide c_out so the (3*C_out, S) f32 partial fits VMEM
+    co_chunk = 0
+    if 3 * c_out * s * 4 > 8 * 1024 * 1024:
+        co_chunk = 128 if c_out % 128 == 0 else \
+            64 if c_out % 64 == 0 else 0
+    cp = None
+    if 3 * c_out * s * 4 > 8 * 1024 * 1024 \
+            or 3 * c * s * 2 > 8 * 1024 * 1024:
+        cp = pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024)
     blk = pl.BlockSpec((1, c, s), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     oblk = pl.BlockSpec((1, c_out, s), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_conv_fwd_kernel, w_img=w_img, wk=w_img * k),
+        partial(_conv_fwd_kernel, w_img=w_img, wk=w_img * k,
+                co_chunk=co_chunk),
         grid=(g,),
+        compiler_params=cp,
         in_specs=[blk, full, full],
         out_specs=oblk,
         out_shape=jax.ShapeDtypeStruct((g, c_out, s), x_cs.dtype),
@@ -296,9 +338,15 @@ def conv3x3_cs_bwd(x_cs, g_cs, wt, w_img, k, interpret=None):
                          memory_space=pltpu.VMEM)
     acc_b = pl.BlockSpec((c_out, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
+    # wide c_out (phase-major upscale conv backward): rolled-g copies and
+    # the (3*C_out, S) g3 stack outgrow the default scoped-VMEM budget
+    cp = None
+    if 3 * max(c, c_out) * s * 2 > 4 * 1024 * 1024:
+        cp = pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024)
     return pl.pallas_call(
         partial(_conv_bwd_kernel, w_img=w_img, wk=w_img * k),
         grid=(g,),
+        compiler_params=cp,
         in_specs=[blk, gblk, full],
         out_specs=(blk, acc_w, acc_b),
         out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
@@ -616,11 +664,16 @@ def _ups_conv_bwd_kernel(x_ref, dc_ref, wt_ref, dx_ref, dwt_ref, db_ref,
     x3 = s3_ref[...]
     for ab in range(r * r):
         gf = dc_ref[0, ab * c:(ab + 1) * c].astype(jnp.float32)
+        # ONE stacked M=3C dW dot per phase instead of three M=C dots
+        # (small-M dots leave the MXU mostly idle)
+        gr = jnp.concatenate(
+            [_gs_roll(gf, dy, s, wk).astype(x.dtype) for dy in range(3)],
+            axis=0)
+        dw = jax.lax.dot_general(
+            gr, x3, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         for dy in range(3):
-            gr = _gs_roll(gf, dy, s, wk).astype(x.dtype)
-            dwt_ref[ab, dy] += jax.lax.dot_general(
-                gr, x3, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            dwt_ref[ab, dy] += dw[dy * c:(dy + 1) * c]
         db_ref[ab] += jnp.sum(gf, axis=1, keepdims=True)
     acc = jnp.zeros((c, s), jnp.float32)
     for ab in range(r * r):
@@ -725,6 +778,66 @@ def _ups_vjp_bwd(w_img, k, h_img, r, res, g):
 
 
 upsample_cs.defvjp(_ups_vjp_fwd, _ups_vjp_bwd)
+
+
+# --- phase-major last stage: pixel shuffle absorbed into weights --------
+#
+# The last upscale stage's lane interleave (selection matmuls against EE)
+# costs ~17 GFLOP of small-matmul work fwd + the same in the bwd
+# de-interleave at EDSR-x4 shapes. Keeping the LAST stage's output
+# phase-major ((a*r+b)*C + c' channel blocks at coarse resolution) makes
+# the final 3x3 conv a phase-dense COARSE conv (c_in = r^2*C,
+# c_out = r^2*ch): a fine 3x3 tap at offset (u-1, v-1) relative to fine
+# position (r*y+a, r*x+b) lands on input phase ((a+u-1)%r, (b+v-1)%r) at
+# coarse offset (floor((a+u-1)/r), floor((b+v-1)/r)) in {-1,0,1} — a
+# plain 3x3 conv with scattered weights. The interleave never happens;
+# only the 3-channel phase-major result transposes to NHWC (cheap).
+
+
+def w_pm_cs(w_arr: jax.Array, c: int, r: int) -> jax.Array:
+    """(r*r, 3C', 3C) per-phase CS stacks -> ONE (3*r*r*C', 3C) CS weight
+    whose output channels are phase-major ((a*r+b)*C' + c'): the last
+    upscale stage as a plain wide conv, no interleave."""
+    v = w_arr.reshape(r * r, 3, c, 3 * c)
+    return jnp.transpose(v, (1, 0, 2, 3)).reshape(3 * r * r * c, 3 * c)
+
+
+def w_pm_hwio(w_arr: jax.Array, c: int, r: int) -> jax.Array:
+    """(r*r, 3C', 3C) per-phase CS stacks -> HWIO (3, 3, C, r*r*C') with
+    PHASE-MAJOR output channels ((a*r+b)*C' + c')."""
+    v = w_arr.reshape(r, r, 3, c, 3, c)          # a, b, dy, c', dx, cin
+    return jnp.transpose(v, (2, 4, 5, 0, 1, 3)).reshape(3, 3, c, r * r * c)
+
+
+def w_phase_dense(w_hwio: jax.Array, r: int) -> jax.Array:
+    """Fine 3x3 conv HWIO (3, 3, Cin, ch) -> phase-dense coarse conv HWIO
+    (3, 3, r*r*Cin, CO) consuming/producing phase-major channel blocks.
+    CO pads r*r*ch up to a multiple of 16 (zero rows) so the kernel's
+    sublane slices stay tile-aligned."""
+    cin, ch = w_hwio.shape[2], w_hwio.shape[3]
+    co = -(-r * r * ch // 16) * 16
+    wpd = jnp.zeros((3, 3, r, r, cin, co), w_hwio.dtype)
+    for a in range(r):
+        for b in range(r):
+            for u in range(3):
+                for v in range(3):
+                    fy, fx = a + u - 1, b + v - 1
+                    dy, ap = fy // r + 1, fy % r
+                    dx, bp = fx // r + 1, fx % r
+                    oc = (a * r + b) * ch
+                    wpd = wpd.at[dy, dx, ap, bp, :, oc:oc + ch].set(
+                        w_hwio[u, v])
+    return wpd.reshape(3, 3, r * r * cin, co)
+
+
+def pm_to_nhwc(y_pm: jax.Array, r: int, ch: int, k: int, h: int,
+               w: int) -> jax.Array:
+    """Phase-major coarse CS (G, >=r*r*ch, h*k*w) -> fine NHWC
+    (G*k, h*r, w*r, ch); channels beyond r*r*ch are alignment padding."""
+    g = y_pm.shape[0]
+    y = y_pm[:, :r * r * ch, :].reshape(g, r, r, ch, h, k, w)
+    return jnp.transpose(y, (0, 5, 4, 1, 6, 2, 3)) \
+        .reshape(g * k, h * r, w * r, ch)
 
 
 def cs_regroup(x_cs, k_old, k_new, h, w):

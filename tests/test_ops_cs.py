@@ -282,6 +282,41 @@ def test_upsample_cs_matches_conv_plus_shuffle():
             np.testing.assert_allclose(a, b, atol=2e-3, err_msg=f'r={r}')
 
 
+@pytest.mark.parametrize('scale,n', [(2, 16), (3, 64), (4, 16)])
+def test_cs_tail_phase_major_matches_fallback(monkeypatch, scale, n):
+    """CSUpscaleTail's CS path (phase-major last stage + phase-dense
+    coarse final conv, pixel shuffle absorbed into the weights) vs its
+    own XLA fallback (conv + pixel_shuffle + fine conv): values and all
+    parameter gradients. scale=3 exercises r=3 phase geometry and the
+    chunked wide-c paths (c_in = 9*64 = 576)."""
+    import srtpu.ops.cs_conv as cs_mod
+    from srtpu.models.common import CSUpscaleTail
+    rng = np.random.default_rng(77)
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, n)) * 0.5, jnp.float32)
+    m = CSUpscaleTail(scale_factor=scale, n_feats=n, channels=3)
+    params = m.init(jax.random.PRNGKey(3), x)
+
+    out_cs = m.apply(params, x)
+    g_cs = jax.grad(
+        lambda p: jnp.sum(jnp.sin(m.apply(p, x))))(params)
+
+    real_plan = cs_mod.cs_plan
+    monkeypatch.setattr(cs_mod, 'cs_plan', lambda shape: None)
+    out_ref = m.apply(params, x)
+    g_ref = jax.grad(
+        lambda p: jnp.sum(jnp.sin(m.apply(p, x))))(params)
+    monkeypatch.setattr(cs_mod, 'cs_plan', real_plan)
+
+    assert out_cs.shape == (4, 8 * scale, 8 * scale, 3)
+    np.testing.assert_allclose(out_cs, out_ref, atol=2e-4)
+    flat_cs = jax.tree_util.tree_leaves_with_path(g_cs)
+    flat_rf = dict(jax.tree_util.tree_leaves_with_path(g_ref))
+    for path, leaf in flat_cs:
+        np.testing.assert_allclose(
+            leaf, flat_rf[path], atol=5e-3, rtol=1e-5,
+            err_msg=f'scale={scale} grad {jax.tree_util.keystr(path)}')
+
+
 @pytest.mark.parametrize('trunk', ['cs', 'cs2'])
 def test_rdn_trunk_cs_matches_xla(data, trunk):
     """RDN dense blocks vs plain XLA math: values and every gradient.
