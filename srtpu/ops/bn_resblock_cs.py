@@ -197,7 +197,7 @@ def _b2_kernel(g_ref, y2_ref, y1_ref, mean2_ref, inv2_ref, coef2_ref,
     _build_x3(h1, s3_ref, s, w_img)
     h3 = s3_ref[...]
     for dy in range(3):
-        dr = _gs_roll(dy2, dy, s, wk).astype(y1.dtype)
+        dr = _gs_roll(dy2.astype(y1.dtype), dy, s, wk)
         dw2t_ref[dy] += jax.lax.dot_general(
             dr, h3, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -232,7 +232,7 @@ def _b3_kernel(dz_ref, y1_ref, mean1_ref, inv1_ref, coef1_ref,
     _build_x3(u, s3_ref, s, w_img)
     u3 = s3_ref[...]
     for dy in range(3):
-        dr = _gs_roll(dy1, dy, s, wk).astype(u.dtype)
+        dr = _gs_roll(dy1.astype(u.dtype), dy, s, wk)
         dw1t_ref[dy] += jax.lax.dot_general(
             dr, u3, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)

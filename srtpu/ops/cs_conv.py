@@ -128,19 +128,27 @@ def _row_masks(s: int, wk: int):
     return lane < s - wk, lane >= wk           # m_yp (reads y+1), m_ym
 
 
-def _build_x3(x, x3_ref, s, w):
-    """Write [roll(+1) | x | roll(-1)] dx-shifted stack into x3_ref.
+def _roll32(x, shift, s):
+    """Lane-roll that satisfies Mosaic's 32-bit dynamic_rotate constraint.
 
-    Mosaic's dynamic_rotate needs 32-bit data, so rolls run on an f32 view
-    and results are cast back to the compute dtype at write time.
+    bf16 data is BITCAST to i32 (sublane PAIRS pack into one register
+    element; the lane axis is untouched), rolled at half the row count
+    with no casts, and bitcast back — lane semantics are identical for
+    any shift, including the odd dx = +/-1. Other dtypes roll via f32.
     """
+    if x.dtype == jnp.bfloat16 and x.shape[0] % 2 == 0:
+        xp = pltpu.bitcast(x, jnp.int32)
+        return pltpu.bitcast(pltpu.roll(xp, shift % s, 1), jnp.bfloat16)
+    return pltpu.roll(x.astype(jnp.float32), shift % s, 1).astype(x.dtype)
+
+
+def _build_x3(x, x3_ref, s, w):
+    """Write [roll(+1) | x | roll(-1)] dx-shifted stack into x3_ref."""
     c = x.shape[0]
-    xf = x.astype(jnp.float32)
     m_xp, m_xm = _seam_masks(s, w)
-    x3_ref[0:c] = jnp.where(m_xm, pltpu.roll(xf, 1, 1), 0).astype(x.dtype)
+    x3_ref[0:c] = jnp.where(m_xm, _roll32(x, 1, s), 0)
     x3_ref[c:2 * c] = x
-    x3_ref[2 * c:3 * c] = jnp.where(
-        m_xp, pltpu.roll(xf, s - 1, 1), 0).astype(x.dtype)
+    x3_ref[2 * c:3 * c] = jnp.where(m_xp, _roll32(x, s - 1, s), 0)
 
 
 def _dy_reduce(p, s, wk):
@@ -167,8 +175,8 @@ def _gs_roll(gf, dy, s, wk):
         return gf
     m_yp, m_ym = _row_masks(s, wk)
     if dy == 0:
-        return jnp.where(m_yp, pltpu.roll(gf, s - wk, 1), 0)
-    return jnp.where(m_ym, pltpu.roll(gf, wk, 1), 0)
+        return jnp.where(m_yp, _roll32(gf, s - wk, s), 0)
+    return jnp.where(m_ym, _roll32(gf, wk, s), 0)
 
 
 # ---------------------------------------------------------------------------
@@ -240,7 +248,7 @@ def _conv_bwd_kernel(x_ref, g_ref, wt_ref, dx_ref, dwt_ref, db_ref,
         dwt_ref[...] = jnp.zeros_like(dwt_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    grs = [_gs_roll(gf, dy, s, wk).astype(x.dtype) for dy in range(3)]
+    grs = [_gs_roll(gf.astype(x.dtype), dy, s, wk) for dy in range(3)]
     c_out = g.shape[0]
     # small c_out (3-channel final conv, padded to 16): three M=c_out dW
     # dots run the MXU at c_out/128 utilisation — stack the dy-rolled g
@@ -463,7 +471,7 @@ def _rb_bwd_kernel(x_ref, h1_ref, g_ref, w1t_ref, w2t_ref, scale_ref,
     h3 = s3_ref[...]
     gsf = gs.astype(jnp.float32)
     for dy in range(3):
-        gr = _gs_roll(gsf, dy, s, wk).astype(x.dtype)
+        gr = _gs_roll(gsf.astype(x.dtype), dy, s, wk)
         dw2t_ref[dy] += jax.lax.dot_general(
             gr, h3, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -474,7 +482,7 @@ def _rb_bwd_kernel(x_ref, h1_ref, g_ref, w1t_ref, w2t_ref, scale_ref,
     x3 = s3_ref[...]
     dh1f = dh1.astype(jnp.float32)
     for dy in range(3):
-        dr = _gs_roll(dh1f, dy, s, wk).astype(x.dtype)
+        dr = _gs_roll(dh1f.astype(x.dtype), dy, s, wk)
         dw1t_ref[dy] += jax.lax.dot_general(
             dr, x3, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -667,7 +675,7 @@ def _ups_conv_bwd_kernel(x_ref, dc_ref, wt_ref, dx_ref, dwt_ref, db_ref,
         # ONE stacked M=3C dW dot per phase instead of three M=C dots
         # (small-M dots leave the MXU mostly idle)
         gr = jnp.concatenate(
-            [_gs_roll(gf, dy, s, wk).astype(x.dtype) for dy in range(3)],
+            [_gs_roll(gf.astype(x.dtype), dy, s, wk) for dy in range(3)],
             axis=0)
         dw = jax.lax.dot_general(
             gr, x3, (((1,), (1,)), ((), ())),
@@ -841,9 +849,19 @@ def pm_to_nhwc(y_pm: jax.Array, r: int, ch: int, k: int, h: int,
 
 
 def cs_regroup(x_cs, k_old, k_new, h, w):
-    """Change images-per-lane-row packing (between upsample stages)."""
+    """Change images-per-lane-row packing (between upsample stages).
+
+    Splitting groups (k_old = m*k_new) is ONE transpose moving the
+    image-split axis past c — the via-NHWC route costs two c-moving
+    transposes (2x the measured copy time on TPU)."""
     if k_old == k_new:
         return x_cs
+    g, c, _ = x_cs.shape
+    if k_old % k_new == 0:
+        m = k_old // k_new
+        y = x_cs.reshape(g, c, h, m, k_new * w)
+        y = jnp.transpose(y, (0, 3, 1, 2, 4))
+        return y.reshape(g * m, c, h * k_new * w)
     return nhwc_to_cs(cs_to_nhwc(x_cs, k_old, h, w), k_new)
 
 
@@ -953,7 +971,7 @@ def _rb_bwd_kernel_stk(x_ref, h1_ref, g_ref, w1t_ref, w2t_ref, scale_ref,
     h3 = s3_ref[...]
     gsf = gs.astype(jnp.float32)
     for dy in range(3):
-        gr = _gs_roll(gsf, dy, s, wk).astype(x.dtype)
+        gr = _gs_roll(gsf.astype(x.dtype), dy, s, wk)
         dw2t_ref[dy] += jax.lax.dot_general(
             gr, h3, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -963,7 +981,7 @@ def _rb_bwd_kernel_stk(x_ref, h1_ref, g_ref, w1t_ref, w2t_ref, scale_ref,
     x3 = s3_ref[...]
     dh1f = dh1.astype(jnp.float32)
     for dy in range(3):
-        dr = _gs_roll(dh1f, dy, s, wk).astype(x.dtype)
+        dr = _gs_roll(dh1f.astype(x.dtype), dy, s, wk)
         dw1t_ref[dy] += jax.lax.dot_general(
             dr, x3, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -1162,7 +1180,7 @@ def _trunk_bwd_kernel_mega(xs_ref, h1_ref, g_ref, w1t_ref, w2t_ref,
     gsf = gs.astype(jnp.float32)
     for dy in range(3):
         gr_ref[dy * c:(dy + 1) * c] = \
-            _gs_roll(gsf, dy, s, wk).astype(x.dtype)
+            _gs_roll(gsf.astype(x.dtype), dy, s, wk)
     _build_x3(h1, s3_ref, s, w_img)
     dw2_ref[lr] += jax.lax.dot_general(
         gr_ref[...], s3_ref[...], (((1,), (1,)), ((), ())),
@@ -1172,7 +1190,7 @@ def _trunk_bwd_kernel_mega(xs_ref, h1_ref, g_ref, w1t_ref, w2t_ref,
     dh1f = dh1.astype(jnp.float32)
     for dy in range(3):
         gr_ref[dy * c:(dy + 1) * c] = \
-            _gs_roll(dh1f, dy, s, wk).astype(x.dtype)
+            _gs_roll(dh1f.astype(x.dtype), dy, s, wk)
     _build_x3(x, s3_ref, s, w_img)
     dw1_ref[lr] += jax.lax.dot_general(
         gr_ref[...], s3_ref[...], (((1,), (1,)), ((), ())),
@@ -1667,7 +1685,7 @@ def _rdb_bwd_dw_kernel(buf_ref, dout_ref, dwt_ref, x3_ref, *, w_img, wk,
         by_i.setdefault(i, []).append((idx, j))
     for i, items in by_i.items():
         doutf = dout_ref[0, g0 * i:g0 * (i + 1)].astype(jnp.float32)
-        grs = [_gs_roll(doutf, dy, s, wk).astype(buf_ref.dtype)
+        grs = [_gs_roll(doutf.astype(buf_ref.dtype), dy, s, wk)
                for dy in range(3)]
         for idx, j in items:
             _build_x3(buf_ref[0, g0 * j:g0 * (j + 1)], x3_ref, s, w_img)
@@ -1904,7 +1922,7 @@ def _rcab_bwd_kernel(x_ref, h1_ref, r2_ref, g_ref, w1t_ref, w2t_ref,
     h3 = s3_ref[...]
     dr2f = dr2.astype(jnp.float32)
     for dy in range(3):
-        gr = _gs_roll(dr2f, dy, s, wk).astype(x.dtype)
+        gr = _gs_roll(dr2f.astype(x.dtype), dy, s, wk)
         dw2t_ref[dy] += jax.lax.dot_general(
             gr, h3, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -1914,7 +1932,7 @@ def _rcab_bwd_kernel(x_ref, h1_ref, r2_ref, g_ref, w1t_ref, w2t_ref,
     x3 = s3_ref[...]
     dh1f = dh1.astype(jnp.float32)
     for dy in range(3):
-        dr_ = _gs_roll(dh1f, dy, s, wk).astype(x.dtype)
+        dr_ = _gs_roll(dh1f.astype(x.dtype), dy, s, wk)
         dw1t_ref[dy] += jax.lax.dot_general(
             dr_, x3, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)

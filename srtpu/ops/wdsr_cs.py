@@ -103,7 +103,7 @@ def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3t_ref,
     x3 = x3_ref[...]
     for dy in range(3):
         dw3t_ref[dy] += jax.lax.dot_general(
-            _gs_roll(gsf, dy, s, wk).astype(x.dtype), x3,
+            _gs_roll(gsf.astype(x.dtype), dy, s, wk), x3,
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
     dh2 = dh2_ref[...]
