@@ -398,21 +398,33 @@ class CSTrunk(nn.Module):
 
 
 class CSUpscaleTail(nn.Module):
-    """EDSR tail (sub-pixel upscaler + final conv) on the CS kernel path.
+    """Sub-pixel upscaler + final conv on the CS kernel path.
 
     Each upscale stage is ONE fused Pallas kernel (conv C -> r^2*C with
     phase-major outputs + the pixel shuffle as per-row selection matmuls)
     — the NHWC shuffle's reshape/transpose layout copies (~0.7 ms/step at
-    EDSR-baseline, PERF.md round 2) never happen. The final 3-channel
-    conv also runs in CS; only the (B, H, W, 3) result converts back.
-    Same math as UpscaleBlock + Conv2d (reference models/common.py:112-139
-    + models/edsr.py:34-36); torch PixelShuffle channel order is absorbed
-    into the stored weight arrangement.
+    EDSR-baseline, PERF.md round 2) never happen. The final conv also
+    runs in CS; only the (B, H, W, ch) result converts back.
+
+    Serves two reference tails:
+    - EDSR (act=None, final_ksize=3): UpscaleBlock + Conv2d, reference
+      models/common.py:112-139 + models/edsr.py:34-36.
+    - SRResNet (act=PReLU, final_ksize=9): PReLU after each shuffle and a
+      9x9 HR output conv, reference models/srresnet.py:28-32. The 9x9
+      fine conv over the r=2 phase-major last stage lowers to a 5x5
+      phase-dense COARSE conv (w_phase_dense) — it runs at LR spatial
+      resolution with full lanes instead of HR resolution with c_out=3.
+
+    torch PixelShuffle channel order is absorbed into the stored weight
+    arrangement; PReLU (scalar alpha, torch nn.PReLU() semantics) is
+    elementwise, hence exact in any layout.
     """
 
     scale_factor: int = 4
     n_feats: int = 64
     channels: int = 3
+    act: Any = None             # PReLU class or None; applied per stage
+    final_ksize: int = 3
     dtype: Dtype | None = None
 
     @nn.compact
@@ -421,25 +433,38 @@ class CSUpscaleTail(nn.Module):
                                        cs_regroup, nhwc_to_cs, pm_to_nhwc,
                                        upsample_cs, w_hwio_from_cs,
                                        w_phase_dense, w_pm_cs)
-        n = self.n_feats
+        n, fk = self.n_feats, self.final_ksize
         assert self.scale_factor in (2, 3, 4, 8)
         rs = [3] if self.scale_factor == 3 else \
             [2] * int(math.log2(self.scale_factor))
         bound = 1.0 / math.sqrt(9 * n)
-        ws, bs = [], []
+        ws, bs, alphas = [], [], []
         for i, r in enumerate(rs):
             ws.append(self.param(f'up{i}_kernel', torch_uniform_init(bound),
                                  (r * r, 3 * n, 3 * n)))
             bs.append(self.param(f'up{i}_bias', torch_uniform_init(bound),
                                  (r * r, n)))
-        wf = self.param('final_kernel', torch_uniform_init(bound),
-                        (3 * self.channels, 3 * n))
-        bf = self.param('final_bias', torch_uniform_init(bound),
+            if self.act is not None:
+                alphas.append(self.param(
+                    f'up{i}_alpha',
+                    lambda key, shape: jnp.full(shape, 0.25, jnp.float32),
+                    (1,)))
+        bound_f = 1.0 / math.sqrt(fk * fk * n)
+        wf = self.param('final_kernel', torch_uniform_init(bound_f),
+                        (fk * self.channels, fk * n))
+        bf = self.param('final_bias', torch_uniform_init(bound_f),
                         (self.channels,))
 
         dtype = self.dtype or x.dtype
         xd = x.astype(dtype)
         b, h, w, _ = x.shape
+
+        def _act(y, i):
+            if self.act is None:
+                return y
+            a = alphas[i].astype(y.dtype)
+            return jnp.where(y >= 0, y, a * y)
+
         plan = cs_plan(x.shape)
         # every stage input must fit the kernels (S <= 4096; final conv
         # reads S_f <= 16384)
@@ -467,8 +492,8 @@ class CSUpscaleTail(nn.Module):
         if not ok:
             y = xd
             for i, r in enumerate(rs):
-                y = _xla_upstage(y, ws[i], bs[i], n, r, dtype)
-            wfh = w_hwio_from_cs(wf[None], n, self.channels)[0]
+                y = _act(_xla_upstage(y, ws[i], bs[i], n, r, dtype), i)
+            wfh = w_hwio_from_cs(wf[None], n, self.channels, fk)[0]
             from srtpu.ops.cs_conv import conv3x3_reference
             return conv3x3_reference(y, wfh.astype(dtype), bf)
 
@@ -485,15 +510,19 @@ class CSUpscaleTail(nn.Module):
             k_new = cs_plan((b, hh, ww, n))[0]
             y = cs_regroup(y, k, k_new, hh, ww)
             k = k_new
+            y = _act(y, i)
         # last stage: plain wide conv with phase-major outputs — the lane
-        # interleave (and its backward de-interleave) never happens
+        # interleave (and its backward de-interleave) never happens.
+        # PReLU with a scalar alpha is exact on the phase-major channels.
         r = rs[-1]
         y = conv3x3_cs_pre(y, w_pm_cs(ws[-1], n, r), bs[-1].reshape(-1),
                            ww, k)
-        # final 3-channel conv as a phase-dense COARSE conv: the fine 3x3
-        # becomes a coarse 3x3 over r^2*C phase-major channels (pixel
-        # shuffle absorbed into the weight scatter; c_out padded to 16)
-        wfh = w_hwio_from_cs(wf[None], n, self.channels)[0]
+        y = _act(y, len(rs) - 1)
+        # final conv as a phase-dense COARSE conv: the fine fk x fk conv
+        # becomes a ck x ck coarse conv over r^2*C phase-major channels
+        # (pixel shuffle absorbed into the weight scatter; c_out padded
+        # to 16)
+        wfh = w_hwio_from_cs(wf[None], n, self.channels, fk)[0]
         wpd = w_phase_dense(wfh, r)
         co = wpd.shape[3]
         bpd = jnp.concatenate(

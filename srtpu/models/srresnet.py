@@ -5,8 +5,11 @@ PReLU, n_resblocks batch-norm ResBlocks + closing conv/BN with a global skip,
 sub-pixel upscale tail with PReLU, and a 9x9 output conv.
 
 ``use_pallas='cs'`` runs the BN trunk on the fused CS kernel path
-(srtpu.ops.bn_resblock_cs) — same math, different parameter tree (stacked
-CS-arranged weights, see CSBNTrunk).
+(srtpu.ops.bn_resblock_cs) AND the tail (PReLU sub-pixel stages + the 9x9
+output conv) on the CS upscale path: the 9x9 HR-resolution output conv —
+the profiled bottleneck of the XLA step (PERF.md round 3) — lowers to a
+5x5 phase-dense coarse conv at LR resolution. Same math, different
+parameter tree (stacked CS-arranged weights, see CSBNTrunk/CSUpscaleTail).
 """
 
 from __future__ import annotations
@@ -15,8 +18,8 @@ from typing import Any
 
 from flax import linen as nn
 
-from .common import (BasicBlock, Conv2d, CSBNTrunk, PReLU, ResBlock,
-                     UpscaleBlock)
+from .common import (BasicBlock, Conv2d, CSBNTrunk, CSUpscaleTail, PReLU,
+                     ResBlock, UpscaleBlock)
 
 
 class SRResNet(nn.Module):
@@ -36,6 +39,9 @@ class SRResNet(nn.Module):
             x = CSBNTrunk(n_feats=self.n_feats,
                           n_resblocks=self.n_resblocks,
                           dtype=self.dtype)(x, train)
+            return CSUpscaleTail(self.scale_factor, self.n_feats,
+                                 self.channels, act=PReLU, final_ksize=9,
+                                 dtype=self.dtype)(x)
         else:
             res = x
             for _ in range(self.n_resblocks):

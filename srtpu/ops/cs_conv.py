@@ -94,9 +94,10 @@ def cs_to_nhwc(x_cs: jax.Array, k: int, h: int, w: int) -> jax.Array:
 
 
 def w_cs(w: jax.Array) -> jax.Array:
-    """HWIO (3, 3, C, C') -> (3*C', 3*C): rows (dy, c_out), cols (dx, c_in)."""
-    c_in, c_out = w.shape[2], w.shape[3]
-    return jnp.transpose(w, (0, 3, 1, 2)).reshape(3 * c_out, 3 * c_in)
+    """HWIO (kk, kk, C, C') -> (kk*C', kk*C): rows (dy, c_out), cols
+    (dx, c_in). Any odd square kernel size."""
+    kk, _, c_in, c_out = w.shape
+    return jnp.transpose(w, (0, 3, 1, 2)).reshape(kk * c_out, kk * c_in)
 
 
 def w_cs_T(w: jax.Array) -> jax.Array:
@@ -105,10 +106,11 @@ def w_cs_T(w: jax.Array) -> jax.Array:
 
 
 def dw_from_cs(dwt: jax.Array) -> jax.Array:
-    """(3, C_out, 3*C_in) [dy, c_out, (dx, c_in)] -> HWIO (3, 3, C_in, C_out)."""
-    three, c_out, k3 = dwt.shape
-    c_in = k3 // 3
-    return dwt.reshape(3, c_out, 3, c_in).transpose(0, 2, 3, 1)
+    """(kk, C_out, kk*C_in) [dy, c_out, (dx, c_in)] -> HWIO
+    (kk, kk, C_in, C_out)."""
+    kk, c_out, kc = dwt.shape
+    c_in = kc // kk
+    return dwt.reshape(kk, c_out, kk, c_in).transpose(0, 2, 3, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -142,41 +144,68 @@ def _roll32(x, shift, s):
     return pltpu.roll(x.astype(jnp.float32), shift % s, 1).astype(x.dtype)
 
 
-def _build_x3(x, x3_ref, s, w):
-    """Write [roll(+1) | x | roll(-1)] dx-shifted stack into x3_ref."""
-    c = x.shape[0]
-    m_xp, m_xm = _seam_masks(s, w)
-    x3_ref[0:c] = jnp.where(m_xm, _roll32(x, 1, s), 0)
-    x3_ref[c:2 * c] = x
-    x3_ref[2 * c:3 * c] = jnp.where(m_xp, _roll32(x, s - 1, s), 0)
+def _build_x3(x, x3_ref, s, w, kk=3):
+    """Write kk dx-shifted masked copies into x3_ref.
 
-
-def _dy_reduce(p, s, wk):
-    """Sum the three dy partial-row blocks of P [(dy, c_out), s] -> (c, s).
-
-    (A zero-fill concat "fast path" for the tile-aligned wk=128 case was
-    tried and does NOT lower: Mosaic rejects lane-dim concats of offset
-    slices — "offset mismatch on non-concat dimension". pltpu.roll it is.)
+    Row block j holds the input for fine tap dx = j - kk//2 (i.e. the data
+    lane-rolled by +(kk//2 - j), image seams zero-masked) — kk=3 gives the
+    classic [roll(+1) | x | roll(-1)] stack; kk=5/9 serve the wide coarse
+    kernels of the phase-dense tail (9x9 fine conv over an r=2 layout).
     """
-    c = p.shape[0] // 3
-    m_yp, m_ym = _row_masks(s, wk)
-    return (jnp.where(m_ym, pltpu.roll(p[0:c], wk, 1), 0)
-            + p[c:2 * c]
-            + jnp.where(m_yp, pltpu.roll(p[2 * c:3 * c], s - wk, 1), 0))
+    c = x.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    for j in range(kk):
+        m = kk // 2 - j                # roll amount; tap reads x - m
+        if m == 0:
+            x3_ref[j * c:(j + 1) * c] = x
+        elif m > 0:
+            x3_ref[j * c:(j + 1) * c] = \
+                jnp.where(lane % w >= m, _roll32(x, m, s), 0)
+        else:
+            x3_ref[j * c:(j + 1) * c] = \
+                jnp.where(lane % w < w + m, _roll32(x, s + m, s), 0)
 
 
-def _gs_roll(gf, dy, s, wk):
-    """g rolled so that position s' holds g[s' - (dy-1)*wk], zero masked.
+def _dy_reduce(p, s, wk, kk=3):
+    """Sum the kk dy partial-row blocks of P [(dy, c_out), s] -> (c, s).
+
+    Block j covers dy tap j - kk//2: rolled into place by (kk//2 - j)*wk
+    with out-of-image rows zeroed. (A zero-fill concat "fast path" for the
+    tile-aligned wk=128 case was tried and does NOT lower: Mosaic rejects
+    lane-dim concats of offset slices — "offset mismatch on non-concat
+    dimension". pltpu.roll it is.)
+    """
+    c = p.shape[0] // kk
+    h = kk // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    out = p[h * c:(h + 1) * c]
+    for j in range(kk):
+        d = j - h
+        if d == 0:
+            continue
+        blk = p[j * c:(j + 1) * c]
+        if d < 0:
+            out = out + jnp.where(lane >= -d * wk,
+                                  pltpu.roll(blk, -d * wk, 1), 0)
+        else:
+            out = out + jnp.where(lane < s - d * wk,
+                                  pltpu.roll(blk, s - d * wk, 1), 0)
+    return out
+
+
+def _gs_roll(gf, dy, s, wk, kk=3):
+    """g rolled so that position s' holds g[s' - (dy - kk//2)*wk], zero masked.
 
     Used by the dW lane-contraction: dW[dy] = sum_s shifted(act) * g, which
-    equals act @ roll(g, +(dy-1)*wk) with the out-of-image rows zeroed.
+    equals act @ roll(g, +(dy - kk//2)*wk) with the out-of-image rows zeroed.
     """
-    if dy == 1:
+    d = dy - kk // 2
+    if d == 0:
         return gf
-    m_yp, m_ym = _row_masks(s, wk)
-    if dy == 0:
-        return jnp.where(m_yp, _roll32(gf, s - wk, s), 0)
-    return jnp.where(m_ym, _roll32(gf, wk, s), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    if d > 0:
+        return jnp.where(lane >= d * wk, _roll32(gf, d * wk, s), 0)
+    return jnp.where(lane < s + d * wk, _roll32(gf, s + d * wk, s), 0)
 
 
 # ---------------------------------------------------------------------------
@@ -185,60 +214,61 @@ def _gs_roll(gf, dy, s, wk):
 
 
 def _conv_fwd_kernel(x_ref, w_ref, b_ref, out_ref, x3_ref, *, w_img, wk,
-                     stk=False, relu=False, co_chunk=0):
+                     stk=False, relu=False, co_chunk=0, kk=3):
     x = x_ref[0]
     c, s = x.shape
-    _build_x3(x, x3_ref, s, w_img)
+    _build_x3(x, x3_ref, s, w_img, kk)
     w = w_ref[0] if stk else w_ref[...]
     b = b_ref[0] if stk else b_ref[...]
     if co_chunk:
-        # wide c_out (phase-major upscale conv): the full (3*C_out, S)
+        # wide c_out (phase-major upscale conv): the full (kk*C_out, S)
         # f32 partial would blow VMEM — chunk the output channels
-        # (w rows are (dy, c_out)-ordered, so a chunk is 3 row slices)
+        # (w rows are (dy, c_out)-ordered, so a chunk is kk row slices)
         co = out_ref.shape[1]
         for j in range(co // co_chunk):
             wj = jnp.concatenate(
                 [w[dy * co + j * co_chunk:dy * co + (j + 1) * co_chunk]
-                 for dy in range(3)], axis=0)
+                 for dy in range(kk)], axis=0)
             p = jnp.dot(wj, x3_ref[...], preferred_element_type=jnp.float32)
-            outj = _dy_reduce(p, s, wk) + b[j * co_chunk:(j + 1) * co_chunk]
+            outj = _dy_reduce(p, s, wk, kk) \
+                + b[j * co_chunk:(j + 1) * co_chunk]
             if relu:
                 outj = jnp.maximum(outj, 0.0)
             out_ref[0, j * co_chunk:(j + 1) * co_chunk] = \
                 outj.astype(out_ref.dtype)
         return
     p = jnp.dot(w, x3_ref[...], preferred_element_type=jnp.float32)
-    out = _dy_reduce(p, s, wk) + b
+    out = _dy_reduce(p, s, wk, kk) + b
     if relu:
         out = jnp.maximum(out, 0.0)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _conv_bwd_kernel(x_ref, g_ref, wt_ref, dx_ref, dwt_ref, db_ref,
-                     x3_ref, g3_ref, *, w_img, wk, stk=False):
+                     x3_ref, g3_ref, *, w_img, wk, stk=False, kk=3):
     gid = pl.program_id(0)
     x = x_ref[0]
     g = g_ref[0]
     c, s = x.shape
     wt = wt_ref[0] if stk else wt_ref[...]
 
-    # dx = convT(g). For wide c_in (RDN dense layers) the (3*c_in, S) f32
+    # dx = convT(g). For wide c_in (RDN dense layers) the (kk*c_in, S) f32
     # partial-sum array would blow VMEM — chunk c_in into 64-row groups
-    # (wt rows are (dy, c_in)-ordered, so a chunk is three row slices).
-    _build_x3(g, g3_ref, s, w_img)
+    # (wt rows are (dy, c_in)-ordered, so a chunk is kk row slices).
+    _build_x3(g, g3_ref, s, w_img, kk)
     g3 = g3_ref[...]
     if c <= 128:
         p = jnp.dot(wt, g3, preferred_element_type=jnp.float32)
-        dx_ref[0] = _dy_reduce(p, s, wk).astype(dx_ref.dtype)
+        dx_ref[0] = _dy_reduce(p, s, wk, kk).astype(dx_ref.dtype)
     else:
         assert c % 64 == 0
         for j in range(c // 64):
             wt_j = jnp.concatenate(
-                [wt[dy * c + j * 64:dy * c + (j + 1) * 64] for dy in range(3)],
-                axis=0)
+                [wt[dy * c + j * 64:dy * c + (j + 1) * 64]
+                 for dy in range(kk)], axis=0)
             p = jnp.dot(wt_j, g3, preferred_element_type=jnp.float32)
             dx_ref[0, j * 64:(j + 1) * 64] = \
-                _dy_reduce(p, s, wk).astype(dx_ref.dtype)
+                _dy_reduce(p, s, wk, kk).astype(dx_ref.dtype)
 
     # dW[dy, c_out, (dx, c_in)] = roll(g, dy) @ X3^T   (K = S, full lanes)
     gf = g.astype(jnp.float32)
@@ -248,39 +278,39 @@ def _conv_bwd_kernel(x_ref, g_ref, wt_ref, dx_ref, dwt_ref, db_ref,
         dwt_ref[...] = jnp.zeros_like(dwt_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    grs = [_gs_roll(gf.astype(x.dtype), dy, s, wk) for dy in range(3)]
+    grs = [_gs_roll(gf.astype(x.dtype), dy, s, wk, kk) for dy in range(kk)]
     c_out = g.shape[0]
-    # small c_out (3-channel final conv, padded to 16): three M=c_out dW
+    # small c_out (3-channel final conv, padded to 16): kk M=c_out dW
     # dots run the MXU at c_out/128 utilisation — stack the dy-rolled g
-    # blocks into ONE M=3*c_out dot and slice the result rows instead
-    stack_dy = 3 * c_out <= 128
+    # blocks into ONE M=kk*c_out dot and slice the result rows instead
+    stack_dy = kk * c_out <= 128
     if stack_dy:
         grs = [jnp.concatenate(grs, axis=0)]
     if c <= 128:
-        _build_x3(x, x3_ref, s, w_img)
+        _build_x3(x, x3_ref, s, w_img, kk)
         x3 = x3_ref[...]
         for di, gr in enumerate(grs):
             dw = jax.lax.dot_general(
                 gr, x3, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             if stack_dy:
-                for dy in range(3):
+                for dy in range(kk):
                     dwt_ref[dy] += dw[dy * c_out:(dy + 1) * c_out]
             else:
                 dwt_ref[di] += dw
     else:
-        # wide c_in: per-64-channel chunks, small (192, S) im2col scratch
+        # wide c_in: per-64-channel chunks, small (kk*64, S) im2col scratch
         # (the x3_ref scratch is allocated at chunk size in this mode)
         for j in range(c // 64):
-            _build_x3(x[j * 64:(j + 1) * 64], x3_ref, s, w_img)
+            _build_x3(x[j * 64:(j + 1) * 64], x3_ref, s, w_img, kk)
             x3j = x3_ref[...]
             for di, gr in enumerate(grs):
                 dw = jax.lax.dot_general(
                     gr, x3j, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (M, 192)
-                for dy in (range(3) if stack_dy else [di]):
+                    preferred_element_type=jnp.float32)  # (M, kk*64)
+                for dy in (range(kk) if stack_dy else [di]):
                     dwj = dw[dy * c_out:(dy + 1) * c_out] if stack_dy else dw
-                    for dxx in range(3):
+                    for dxx in range(kk):
                         dwt_ref[dy, :,
                                 dxx * c + j * 64:dxx * c + (j + 1) * 64] \
                             += dwj[:, dxx * 64:(dxx + 1) * 64]
@@ -298,18 +328,18 @@ def _interpret(flag):
     return jax.default_backend() != 'tpu' if flag is None else flag
 
 
-def conv3x3_cs_fwd(x_cs, w2, b, w_img, k, interpret=None):
-    """x_cs (G, C, S) bf16/f32; w2 (3C', 3C) CS-arranged; b (C', 1)."""
+def conv3x3_cs_fwd(x_cs, w2, b, w_img, k, interpret=None, kk=3):
+    """x_cs (G, C, S) bf16/f32; w2 (kk*C', kk*C) CS-arranged; b (C', 1)."""
     g, c, s = x_cs.shape
-    c_out = w2.shape[0] // 3
-    # chunk wide c_out so the (3*C_out, S) f32 partial fits VMEM
+    c_out = w2.shape[0] // kk
+    # chunk wide c_out so the (kk*C_out, S) f32 partial fits VMEM
     co_chunk = 0
-    if 3 * c_out * s * 4 > 8 * 1024 * 1024:
+    if kk * c_out * s * 4 > 8 * 1024 * 1024:
         co_chunk = 128 if c_out % 128 == 0 else \
             64 if c_out % 64 == 0 else 0
     cp = None
-    if 3 * c_out * s * 4 > 8 * 1024 * 1024 \
-            or 3 * c * s * 2 > 8 * 1024 * 1024:
+    if kk * c_out * s * 4 > 8 * 1024 * 1024 \
+            or kk * c * s * 2 > 8 * 1024 * 1024:
         cp = pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024)
     blk = pl.BlockSpec((1, c, s), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -318,23 +348,23 @@ def conv3x3_cs_fwd(x_cs, w2, b, w_img, k, interpret=None):
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_conv_fwd_kernel, w_img=w_img, wk=w_img * k,
-                co_chunk=co_chunk),
+                co_chunk=co_chunk, kk=kk),
         grid=(g,),
         compiler_params=cp,
         in_specs=[blk, full, full],
         out_specs=oblk,
         out_shape=jax.ShapeDtypeStruct((g, c_out, s), x_cs.dtype),
-        scratch_shapes=[pltpu.VMEM((3 * c, s), x_cs.dtype)],
+        scratch_shapes=[pltpu.VMEM((kk * c, s), x_cs.dtype)],
         interpret=_interpret(interpret),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 3 * c_out * 3 * c * s * g,
+            flops=2 * kk * c_out * kk * c * s * g,
             bytes_accessed=(c + c_out) * s * g * 2, transcendentals=0),
     )(x_cs, w2, b)
 
 
-def conv3x3_cs_bwd(x_cs, g_cs, wt, w_img, k, interpret=None):
+def conv3x3_cs_bwd(x_cs, g_cs, wt, w_img, k, interpret=None, kk=3):
     """Backward of the CS conv; supports c_out != c_in (rectangular).
-    g_cs (G, C_out, S); wt (3*C_in, 3*C_out) transposed-kernel CS."""
+    g_cs (G, C_out, S); wt (kk*C_in, kk*C_out) transposed-kernel CS."""
     g, c, s = x_cs.shape
     c_out = g_cs.shape[1]
     blk = pl.BlockSpec((1, c, s), lambda i: (i, 0, 0),
@@ -342,39 +372,41 @@ def conv3x3_cs_bwd(x_cs, g_cs, wt, w_img, k, interpret=None):
     gblk = pl.BlockSpec((1, c_out, s), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    acc_w = pl.BlockSpec((3, c_out, 3 * c), lambda i: (0, 0, 0),
+    acc_w = pl.BlockSpec((kk, c_out, kk * c), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     acc_b = pl.BlockSpec((c_out, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     # wide c_out (phase-major upscale conv backward): rolled-g copies and
-    # the (3*C_out, S) g3 stack outgrow the default scoped-VMEM budget
+    # the (kk*C_out, S) g3 stack outgrow the default scoped-VMEM budget
     cp = None
-    if 3 * max(c, c_out) * s * 2 > 4 * 1024 * 1024:
+    if kk * max(c, c_out) * s * 2 > 4 * 1024 * 1024:
         cp = pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024)
     return pl.pallas_call(
-        partial(_conv_bwd_kernel, w_img=w_img, wk=w_img * k),
+        partial(_conv_bwd_kernel, w_img=w_img, wk=w_img * k, kk=kk),
         grid=(g,),
         compiler_params=cp,
         in_specs=[blk, gblk, full],
         out_specs=(blk, acc_w, acc_b),
         out_shape=(jax.ShapeDtypeStruct(x_cs.shape, x_cs.dtype),
-                   jax.ShapeDtypeStruct((3, c_out, 3 * c), jnp.float32),
+                   jax.ShapeDtypeStruct((kk, c_out, kk * c), jnp.float32),
                    jax.ShapeDtypeStruct((c_out, 1), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((3 * min(c, 64 if c > 128 else c), s),
+        scratch_shapes=[pltpu.VMEM((kk * min(c, 64 if c > 128 else c), s),
                                    x_cs.dtype),
-                        pltpu.VMEM((3 * c_out, s), x_cs.dtype)],
+                        pltpu.VMEM((kk * c_out, s), x_cs.dtype)],
         interpret=_interpret(interpret),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * 9 * c * c_out * s * g,
-            bytes_accessed=3 * c * s * g * 2, transcendentals=0),
+            flops=2 * 2 * kk * kk * c * c_out * s * g,
+            bytes_accessed=kk * c * s * g * 2, transcendentals=0),
     )(x_cs, g_cs, wt)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def conv3x3_cs(x_cs, w, b, w_img, k):
-    """Differentiable CS-layout 3x3 SAME conv. w: HWIO (3,3,C,C'); b: (C',)."""
+    """Differentiable CS-layout kxk SAME conv (k odd, inferred from w).
+    w: HWIO (kk,kk,C,C'); b: (C',)."""
     out = conv3x3_cs_fwd(x_cs, w_cs(w).astype(x_cs.dtype),
-                         b.astype(jnp.float32)[:, None], w_img, k)
+                         b.astype(jnp.float32)[:, None], w_img, k,
+                         kk=w.shape[0])
     return out
 
 
@@ -385,7 +417,7 @@ def _conv_cs_vjp_fwd(x_cs, w, b, w_img, k):
 def _conv_cs_vjp_bwd(w_img, k, res, g):
     x_cs, w = res
     wt = w_cs_T(w).astype(x_cs.dtype)
-    dx, dwt, db = conv3x3_cs_bwd(x_cs, g, wt, w_img, k)
+    dx, dwt, db = conv3x3_cs_bwd(x_cs, g, wt, w_img, k, kk=w.shape[0])
     return dx, dw_from_cs(dwt).astype(w.dtype), db[:, 0]
 
 
@@ -818,24 +850,29 @@ def w_pm_hwio(w_arr: jax.Array, c: int, r: int) -> jax.Array:
 
 
 def w_phase_dense(w_hwio: jax.Array, r: int) -> jax.Array:
-    """Fine 3x3 conv HWIO (3, 3, Cin, ch) -> phase-dense coarse conv HWIO
-    (3, 3, r*r*Cin, CO) consuming/producing phase-major channel blocks.
-    CO pads r*r*ch up to a multiple of 16 (zero rows) so the kernel's
-    sublane slices stay tile-aligned."""
-    cin, ch = w_hwio.shape[2], w_hwio.shape[3]
+    """Fine fkxfk conv HWIO (fk, fk, Cin, ch) -> phase-dense coarse conv
+    HWIO (ck, ck, r*r*Cin, CO) consuming/producing phase-major channel
+    blocks; ck is the coarse tap span (3 for fk=3; 5 for a 9x9 fine conv
+    over r=2 phases — the SRResNet output conv). CO pads r*r*ch up to a
+    multiple of 16 (zero rows) so the kernel's sublane slices stay
+    tile-aligned."""
+    fk, _, cin, ch = w_hwio.shape
+    hw = fk // 2
+    lo = -(hw // r) - (1 if hw % r else 0)       # floor(-hw / r)
+    ck = (r - 1 + hw) // r - lo + 1
     co = -(-r * r * ch // 16) * 16
-    wpd = jnp.zeros((3, 3, r, r, cin, co), w_hwio.dtype)
+    wpd = jnp.zeros((ck, ck, r, r, cin, co), w_hwio.dtype)
     for a in range(r):
         for b in range(r):
-            for u in range(3):
-                for v in range(3):
-                    fy, fx = a + u - 1, b + v - 1
-                    dy, ap = fy // r + 1, fy % r
-                    dx, bp = fx // r + 1, fx % r
+            for u in range(fk):
+                for v in range(fk):
+                    fy, fx = a + u - hw, b + v - hw
+                    dy, ap = fy // r - lo, fy % r
+                    dx, bp = fx // r - lo, fx % r
                     oc = (a * r + b) * ch
                     wpd = wpd.at[dy, dx, ap, bp, :, oc:oc + ch].set(
                         w_hwio[u, v])
-    return wpd.reshape(3, 3, r * r * cin, co)
+    return wpd.reshape(ck, ck, r * r * cin, co)
 
 
 def pm_to_nhwc(y_pm: jax.Array, r: int, ch: int, k: int, h: int,
@@ -892,10 +929,11 @@ def w_cs_batch(w: jax.Array) -> jax.Array:
     return jnp.transpose(w, (0, 1, 4, 2, 3)).reshape(l, 3 * c_out, 3 * c_in)
 
 
-def w_hwio_from_cs(w_csd: jax.Array, c_in: int, c_out: int) -> jax.Array:
-    """(L, 3C', 3C) CS arrangement -> (L, 3, 3, C, C') HWIO stack."""
+def w_hwio_from_cs(w_csd: jax.Array, c_in: int, c_out: int,
+                   kk: int = 3) -> jax.Array:
+    """(L, kk*C', kk*C) CS arrangement -> (L, kk, kk, C, C') HWIO stack."""
     l = w_csd.shape[0]
-    return jnp.transpose(w_csd.reshape(l, 3, c_out, 3, c_in),
+    return jnp.transpose(w_csd.reshape(l, kk, c_out, kk, c_in),
                          (0, 1, 3, 4, 2))
 
 

@@ -631,3 +631,95 @@ def test_aligned_shift_path():
     g_rf = jax.grad(loss_ref)((w1, b1))
     for a, b in zip(g_cs, g_rf):
         np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+@pytest.mark.parametrize('kk,c_in,c_out', [(5, 16, 32), (9, 16, 16),
+                                           (5, 256, 16)])
+def test_conv_kxk_cs_parity(kk, c_in, c_out):
+    """Generalized kxk CS conv (tap count inferred from HWIO weight):
+    values + all gradients vs the XLA SAME conv, incl. the wide-c_in
+    chunked backward (c=256). Serves the SRResNet 9x9 output conv
+    (reference models/srresnet.py:33) via the 5x5 phase-dense lowering."""
+    rng = np.random.default_rng(29)
+    B, H, W = 4, 8, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, c_in)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((kk, kk, c_in, c_out)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal((c_out,)) * 0.1, jnp.float32)
+    k, _ = cs_plan(x.shape)
+    xc = nhwc_to_cs(x, k)
+    gt = jnp.asarray(rng.standard_normal((B, H, W, c_out)), jnp.float32)
+
+    def loss_cs(xc, w, b):
+        return jnp.sum(cs_to_nhwc(conv3x3_cs(xc, w, b, W, k), k, H, W) * gt)
+
+    def loss_rf(x, w, b):
+        return jnp.sum(conv3x3_reference(x, w, b) * gt)
+
+    np.testing.assert_allclose(loss_cs(xc, w, b), loss_rf(x, w, b),
+                               rtol=1e-5)
+    gc = jax.grad(loss_cs, (0, 1, 2))(xc, w, b)
+    gr = jax.grad(loss_rf, (0, 1, 2))(x, w, b)
+    np.testing.assert_allclose(cs_to_nhwc(gc[0], k, H, W), gr[0], atol=1e-4)
+    np.testing.assert_allclose(gc[1], gr[1], atol=1e-3)
+    np.testing.assert_allclose(gc[2], gr[2], atol=1e-3)
+
+
+@pytest.mark.parametrize('fk,r', [(9, 2), (9, 3), (3, 4)])
+def test_phase_dense_general(fk, r):
+    """w_phase_dense for general fine kernel sizes: the fk x fk fine conv
+    over an r-phase-major layout == ck x ck coarse conv (5x5 for the
+    SRResNet 9x9/r=2 case; the EDSR 3x3/r=4 case unchanged)."""
+    from srtpu.ops.cs_conv import pm_to_nhwc, w_phase_dense
+
+    rng = np.random.default_rng(31)
+    B, H, W, C, ch = 4, 8, 8, 64, 3
+    fine = jnp.asarray(rng.standard_normal((B, H * r, W * r, C)),
+                       jnp.float32)
+    wf = jnp.asarray(rng.standard_normal((fk, fk, C, ch)) * 0.1,
+                     jnp.float32)
+    bf = jnp.asarray(rng.standard_normal((ch,)), jnp.float32)
+    k, g = cs_plan((B, H, W, r * r * C))
+    y = fine.reshape(g, k, H, r, W, r, C)
+    y_pm = jnp.transpose(y, (0, 3, 5, 6, 2, 1, 4)) \
+        .reshape(g, r * r * C, H * k * W)
+    wpd = w_phase_dense(wf, r)
+    bpd = jnp.concatenate(
+        [jnp.tile(bf, r * r),
+         jnp.zeros(wpd.shape[3] - r * r * ch, bf.dtype)])
+    out = pm_to_nhwc(conv3x3_cs(y_pm, wpd, bpd, W, k), r, ch, k, H, W)
+    np.testing.assert_allclose(out, conv3x3_reference(fine, wf, bf),
+                               atol=1e-4)
+
+
+def test_cs_upscale_tail_srresnet_parity(monkeypatch):
+    """CSUpscaleTail(act=PReLU, final_ksize=9) — the SRResNet tail — CS
+    kernel path == XLA fallback on the same params, fwd + grads (two-stage
+    x4: interleave stage + PReLU, phase-major stage + PReLU, 9x9 output
+    conv as a 5x5 phase-dense coarse conv)."""
+    from srtpu.models.common import CSUpscaleTail, PReLU
+    from srtpu.ops import cs_conv
+
+    rng = np.random.default_rng(37)
+    x = jnp.asarray(rng.standard_normal((8, 16, 16, 16)), jnp.float32)
+    tail = CSUpscaleTail(scale_factor=4, n_feats=16, channels=3,
+                         act=PReLU, final_ksize=9)
+    vs = tail.init(jax.random.PRNGKey(0), x)
+    assert 'up0_alpha' in vs['params'] and 'up1_alpha' in vs['params']
+    out_cs = tail.apply(vs, x)
+    gt = jnp.asarray(rng.standard_normal(out_cs.shape), jnp.float32)
+
+    def loss(p):
+        return jnp.sum(tail.apply({'params': p}, x) * gt)
+
+    g_cs = jax.grad(loss)(vs['params'])
+    monkeypatch.setattr(cs_conv, 'cs_plan', lambda shape: None)
+    out_rf = tail.apply(vs, x)
+    g_rf = jax.grad(loss)(vs['params'])
+    np.testing.assert_allclose(out_cs, out_rf, atol=1e-5)
+    for pth, a in jax.tree_util.tree_leaves_with_path(g_cs):
+        b = g_rf
+        for kp in pth:
+            b = b[kp.key]
+        np.testing.assert_allclose(a, b, atol=2e-3,
+                                   err_msg=jax.tree_util.keystr(pth))
