@@ -49,6 +49,10 @@ CONFIGS = [
     # round-3 fused whole-RDB kernels: 22.3 vs 27.3 ms/step XLA (PERF.md)
     {'name': 'RDN-B', 'model': 'RDN', 'headline': False,
      'kwargs': dict(rdn_config='B', use_pallas='cs')},
+    # round-3 CS tail (9x9 output conv as 5x5 phase-dense coarse conv):
+    # 2.81 vs 6.95 ms/step XLA (PERF.md)
+    {'name': 'SRResNet', 'model': 'SRResNet', 'headline': False,
+     'kwargs': dict(use_pallas='cs')},
 ]
 
 
