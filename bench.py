@@ -53,6 +53,9 @@ CONFIGS = [
     # 2.81 vs 6.95 ms/step XLA (PERF.md)
     {'name': 'SRResNet', 'model': 'SRResNet', 'headline': False,
      'kwargs': dict(use_pallas='cs')},
+    # round-3 phase-major back-projections: 9.6 vs 29.6 ms/step XLA
+    {'name': 'DDBPN', 'model': 'DDBPN', 'headline': False,
+     'kwargs': dict(use_pallas='cs')},
 ]
 
 
