@@ -46,6 +46,7 @@ DEFAULTS: dict[str, Any] = {
         'eval_bucket': 32,
         'prefetch': 2,
         'cache_train_images': True,
+        'num_workers': 0,
     },
     'model': {
         'class_path': 'EDSR',
@@ -261,7 +262,8 @@ def build_all(cfg: dict):
         eval_bucket=data.get('eval_bucket', 32),
         seed=cfg.get('seed', 42),
         prefetch=data.get('prefetch', 2),
-        cache_train_images=data.get('cache_train_images', True))
+        cache_train_images=data.get('cache_train_images', True),
+        num_workers=data.get('num_workers', 0))
 
     monitor = trainer.get('monitor')
     if monitor is None and data['eval_datasets']:

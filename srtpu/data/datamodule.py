@@ -40,7 +40,8 @@ class SRData:
                  eval_bucket: int = 32,
                  seed: int = 0,
                  prefetch: int = 2,
-                 cache_train_images: bool = True):
+                 cache_train_images: bool = True,
+                 num_workers: int = 0):
         self._augment = augment
         self._batch_size = batch_size
         self._datasets_dir = Path(datasets_dir)
@@ -52,6 +53,9 @@ class SRData:
         self._eval_bucket = eval_bucket
         self._seed = seed
         self._prefetch = prefetch
+        # item-level loader threads; 0 = auto (cpu_count // 2 — the
+        # reference's torch DataLoader sizing, srdata.py:516, as a knob)
+        self._num_workers = num_workers
         # decoded-image RAM cache for training sources: each image is
         # re-sampled every epoch, and on TPU-VM hosts with few cores the
         # PNG decode would otherwise bound the input pipeline (the
@@ -164,7 +168,8 @@ class SRData:
         return TrainLoader(self._train_source, self._batch_size,
                            self._patch_size, self._scale,
                            augment=self._augment, seed=self._seed,
-                           sharding=sharding, prefetch=self._prefetch)
+                           sharding=sharding, prefetch=self._prefetch,
+                           num_workers=self._num_workers)
 
     def eval_loaders(self) -> list[EvalLoader]:
         assert self._eval_sources is not None, 'call setup first'

@@ -102,7 +102,8 @@ class TrainLoader:
                  sharding=None, prefetch: int = 2,
                  drop_remainder: bool = True,
                  process_index: int | None = None,
-                 process_count: int | None = None):
+                 process_count: int | None = None,
+                 num_workers: int = 0):
         self._source = source
         self._batch = batch_size
         self._patch = patch_size
@@ -113,6 +114,16 @@ class TrainLoader:
         self._prefetch = prefetch
         self._drop = drop_remainder
         self._epoch = 0
+        # item-level thread pool inside the producer: decode + the native
+        # crop/augment call both release the GIL, so N workers scale the
+        # pipeline on multi-core TPU-VM hosts. 0 = auto (cpu_count // 2,
+        # the reference's torch DataLoader default, srdata.py:516 — but as
+        # a knob, which the reference lacks); 1 = sequential.
+        if num_workers == 0:
+            import os
+            num_workers = max(1, (os.cpu_count() or 2) // 2)
+        self._workers = num_workers
+        self._pool = None
         # per-host sharding: every process sees the SAME shuffled order
         # (seeded identically) and takes an interleaved slice — the
         # TPU-native replacement for Lightning's DistributedSampler
@@ -139,44 +150,68 @@ class TrainLoader:
         idx = np.resize(np.arange(min(self._batch, n)), self._batch)
         return self._make_batch(idx, rng)
 
+    def _run_items(self, fn, n: int):
+        """Run ``fn(slot)`` for every batch slot — sequentially, or on the
+        item thread pool (decode + the native crop call release the GIL,
+        so workers scale on multi-core hosts)."""
+        if self._workers <= 1 or n <= 1:
+            for s in range(n):
+                fn(s)
+            return
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=self._workers,
+                                            thread_name_prefix='srtpu-data')
+        list(self._pool.map(fn, range(n)))   # list() propagates exceptions
+
     def _make_batch(self, indices, rng) -> Batch:
         from . import native
         if native.available():
             return self._make_batch_native(indices, rng)
-        lrs, hrs, names = [], [], []
-        for i in indices:
-            lr, hr, name = self._source.get(int(i))
+        n = len(indices)
+        rngs = rng.spawn(n)   # per-item streams: results are identical
+        #                       for ANY worker count (order-independent)
+        lrs, hrs, names = [None] * n, [None] * n, [None] * n
+
+        def work(slot):
+            lr, hr, name = self._source.get(int(indices[slot]))
             if hr is None:
                 raise ValueError(f'No HR image for {name}')
-            lr_p, hr_p = random_patch(lr, hr, self._patch, self._scale, rng)
+            r = rngs[slot]
+            lr_p, hr_p = random_patch(lr, hr, self._patch, self._scale, r)
             if self._augment:
-                lr_p, hr_p = augment_pair(lr_p, hr_p, rng)
-            lrs.append(np.ascontiguousarray(lr_p))
-            hrs.append(np.ascontiguousarray(hr_p))
-            names.append(name)
+                lr_p, hr_p = augment_pair(lr_p, hr_p, r)
+            lrs[slot] = np.ascontiguousarray(lr_p)
+            hrs[slot] = np.ascontiguousarray(hr_p)
+            names[slot] = name
+
+        self._run_items(work, n)
         return Batch(lr=np.stack(lrs), hr=np.stack(hrs), names=tuple(names))
 
     def _make_batch_native(self, indices, rng) -> Batch:
         """Native fast path: fused crop+augment+batch placement in C++
-        (native/patchops.cc), drawing the SAME random stream as the numpy
-        path so both are interchangeable."""
+        (native/patchops.cc), drawing the SAME per-item random stream as
+        the numpy path so both are interchangeable."""
         from . import native
         n = len(indices)
         lp = self._patch // self._scale
         out_lr = np.empty((n, lp, lp, 3), np.float32)
         out_hr = np.empty((n, self._patch, self._patch, 3), np.float32)
-        names = []
-        for slot, i in enumerate(indices):
-            lr, hr, name = self._source.get(int(i))
+        rngs = rng.spawn(n)
+        names = [None] * n
+
+        def work(slot):
+            lr, hr, name = self._source.get(int(indices[slot]))
             if hr is None:
                 raise ValueError(f'No HR image for {name}')
+            r = rngs[slot]
             lh, lw = lr.shape[:2]
-            y = int(rng.integers(0, lh - lp + 1))
-            x = int(rng.integers(0, lw - lp + 1))
+            y = int(r.integers(0, lh - lp + 1))
+            x = int(r.integers(0, lw - lp + 1))
             if self._augment:
-                rot = int(rng.integers(0, 4))
-                hflip = bool(rng.integers(0, 2))
-                vflip = bool(rng.integers(0, 2))
+                rot = int(r.integers(0, 4))
+                hflip = bool(r.integers(0, 2))
+                vflip = bool(r.integers(0, 2))
             else:
                 rot = hflip = vflip = 0
             native.extract_patch_pair(
@@ -184,7 +219,9 @@ class TrainLoader:
                 np.ascontiguousarray(hr, np.float32),
                 self._patch, self._scale, y, x, rot, hflip, vflip,
                 out_lr[slot], out_hr[slot])
-            names.append(name)
+            names[slot] = name
+
+        self._run_items(work, n)
         return Batch(lr=out_lr, hr=out_hr, names=tuple(names))
 
     def __iter__(self):

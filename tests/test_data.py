@@ -216,3 +216,26 @@ def test_per_host_sharding_partitions_data(image_dataset):
     assert len(a) == len(b) == 3  # 6 images / 2 hosts
     assert set(a).isdisjoint(set(b))
     assert set(a) | set(b) == {f'img{i:02d}' for i in range(6)}
+
+
+def test_loader_worker_count_invariance(tmp_path):
+    """Batches are identical for any num_workers (per-item spawned RNG
+    streams are order-independent)."""
+    import numpy as np
+    from PIL import Image
+    hr_dir = tmp_path / 'T' / 'HR'
+    hr_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+                        ).save(hr_dir / f'i{i}.png')
+    src = ImageFolderSource(hr_dir=hr_dir, lr_dir=None, scale_factor=2,
+                            mode='train')
+    batches = {}
+    for workers in (1, 3):
+        loader = TrainLoader(src, batch_size=4, patch_size=16,
+                             scale_factor=2, seed=7, num_workers=workers)
+        batches[workers] = next(iter(loader))
+    np.testing.assert_array_equal(batches[1].lr, batches[3].lr)
+    np.testing.assert_array_equal(batches[1].hr, batches[3].hr)
+    assert batches[1].names == batches[3].names
