@@ -178,6 +178,12 @@ class CSDenseProjection(nn.Module):
                               alb, tile)
             else:
                 x = xs[0]
+            # NOTE a whole-unit fused kernel (three convs + PReLUs +
+            # residual arithmetic in one Mosaic body) was built and is
+            # exact, but REGRESSED 9.60 -> 10.32 ms/step with 2x the
+            # compile time — the huge per-group body defeats grid
+            # pipelining (same mechanism as the S=8192 trunk negative,
+            # PERF.md). Separate conv kernels + XLA elementwise win.
             a0 = _prelu_ch(conv3x3_cs_pre(
                 x, w_a * m_a, ba_full, w_img, k), al_a, t_a)
             b0 = _prelu_ch(conv3x3_cs_pre(
