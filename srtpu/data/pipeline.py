@@ -236,9 +236,27 @@ class TrainLoader:
         if n_batches == 0:
             return
 
+        # consumers may abandon the iterator mid-epoch (overfit_batches /
+        # fast_dev_run / limit_train_batches break out of the batch loop);
+        # without a stop signal the producer would stay blocked on q.put
+        # forever, leaking a thread + ``prefetch`` (possibly device-
+        # resident) batches EVERY epoch
+        stop = threading.Event()
+
+        def put(q, item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer(q):
             try:
                 for b in range(n_batches):
+                    if stop.is_set():
+                        return
                     idx = order[b * self._batch:(b + 1) * self._batch]
                     if len(idx) < self._batch:
                         if self._drop:
@@ -251,14 +269,16 @@ class TrainLoader:
                         from srtpu.parallel import put_local_batch
                         lr = put_local_batch(lr, self._sharding)
                         hr = put_local_batch(hr, self._sharding)
-                    q.put(Batch(lr=lr, hr=hr, names=batch.names))
+                    if not put(q, Batch(lr=lr, hr=hr, names=batch.names)):
+                        return
             except BaseException as e:  # surface worker errors to consumer
-                q.put(e)
+                put(q, e)
             finally:
-                q.put(None)
+                put(q, None)
 
         q: queue.Queue = queue.Queue(maxsize=self._prefetch)
-        thread = threading.Thread(target=producer, args=(q,), daemon=True)
+        thread = threading.Thread(target=producer, args=(q,), daemon=True,
+                                  name='srtpu-train-producer')
         thread.start()
         try:
             while True:
@@ -269,6 +289,12 @@ class TrainLoader:
                     raise item
                 yield item
         finally:
+            stop.set()
+            while True:         # drain so a blocked producer wakes and exits
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
             self._epoch += 1
 
 

@@ -218,6 +218,33 @@ def test_per_host_sharding_partitions_data(image_dataset):
     assert set(a) | set(b) == {f'img{i:02d}' for i in range(6)}
 
 
+def test_abandoned_iterator_stops_producer(image_dataset):
+    """Breaking out of an epoch mid-iteration (overfit_batches /
+    fast_dev_run / limit_train_batches in the Trainer) must stop the
+    prefetch producer thread — otherwise every epoch leaks a thread
+    pinning ``prefetch`` batches."""
+    import threading
+    import time
+    src = ImageFolderSource(hr_dir=image_dataset / 'Tiny' / 'HR',
+                            lr_dir=image_dataset / 'Tiny' / 'LR' / 'X2',
+                            scale_factor=2, mode='train')
+    loader = TrainLoader(src, batch_size=1, patch_size=16, scale_factor=2,
+                         seed=0, prefetch=1)
+    for _ in range(5):
+        it = iter(loader)
+        next(it)
+        it.close()   # what the Trainer's ``break`` triggers via GC
+
+    def producers():
+        return [t for t in threading.enumerate()
+                if t.name.startswith('srtpu-train-producer')]
+
+    deadline = time.time() + 5.0
+    while producers() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not producers(), f'{len(producers())} producer threads leaked'
+
+
 def test_loader_worker_count_invariance(tmp_path):
     """Batches are identical for any num_workers (per-item spawned RNG
     streams are order-independent)."""
