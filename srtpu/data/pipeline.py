@@ -124,6 +124,7 @@ class TrainLoader:
             num_workers = max(1, (os.cpu_count() or 2) // 2)
         self._workers = num_workers
         self._pool = None
+        self._pool_lock = threading.Lock()
         # per-host sharding: every process sees the SAME shuffled order
         # (seeded identically) and takes an interleaved slice — the
         # TPU-native replacement for Lightning's DistributedSampler
@@ -158,10 +159,12 @@ class TrainLoader:
             for s in range(n):
                 fn(s)
             return
-        if self._pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-            self._pool = ThreadPoolExecutor(max_workers=self._workers,
-                                            thread_name_prefix='srtpu-data')
+        with self._pool_lock:   # two live producers must share one pool
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self._workers,
+                    thread_name_prefix='srtpu-data')
         list(self._pool.map(fn, range(n)))   # list() propagates exceptions
 
     def _make_batch(self, indices, rng) -> Batch:

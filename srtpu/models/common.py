@@ -332,6 +332,12 @@ class FusedResBlock(nn.Module):
         return resblock_reference(*args, res_scale=self.res_scale)
 
 
+# trunk_bwd_mega keeps two (L, 3C, 3C) f32 dW accumulators VMEM-resident;
+# past this budget CSTrunk routes to the per-block trunk_cs instead
+# (srtpu/ops/cs_conv.py _mega_cp is 40 MB total incl. streamed blocks)
+_MEGA_ACC_BUDGET = 24 * 1024 * 1024
+
+
 class CSTrunk(nn.Module):
     """EDSR trunk (resblocks + close conv + global skip) in CS layout.
 
@@ -373,7 +379,11 @@ class CSTrunk(nn.Module):
 
         dtype = self.dtype or x.dtype
         xd = x.astype(dtype)
-        plan = cs_plan(x.shape)
+        # the CS layout wins only while C under-fills the 128 MXU lanes
+        # (WDSR-B at 128f is a measured negative, EDSR-large at 256f runs
+        # 78% MFU on plain XLA — PERF.md); cs_plan itself has no upper
+        # channel bound, so gate here
+        plan = cs_plan(x.shape) if n <= 96 else None
         if plan is None:
             from srtpu.ops.cs_conv import w_hwio_from_cs
             w1h = w_hwio_from_cs(w1, n, n)
@@ -391,8 +401,20 @@ class CSTrunk(nn.Module):
         w_img = x.shape[2]
         xc = nhwc_to_cs(xd, k)
         # one pallas_call per direction for the whole chain (the running
-        # activation stays VMEM-resident across all blocks; PERF.md r3)
-        res = trunk_cs_mega(xc, w1, b1, w2, b2, self.res_scale, w_img, k)
+        # activation stays VMEM-resident across all blocks; PERF.md r3).
+        # The mega backward keeps BOTH (L, 3C, 3C) f32 dW accumulators
+        # VMEM-resident for the whole grid — beyond ~24 MB of accumulators
+        # that blows the 40 MB scoped budget (srtpu/ops/cs_conv.py
+        # _mega_cp) at Mosaic compile, so long/wide trunks take the
+        # per-block path (same stacked params, same math, block-sized
+        # working sets) instead.
+        mega_acc_bytes = 2 * nb * (3 * n) ** 2 * 4
+        if mega_acc_bytes <= _MEGA_ACC_BUDGET:
+            res = trunk_cs_mega(xc, w1, b1, w2, b2, self.res_scale,
+                                w_img, k)
+        else:
+            from srtpu.ops.cs_conv import trunk_cs
+            res = trunk_cs(xc, w1, b1, w2, b2, self.res_scale, w_img, k)
         res = conv3x3_cs(res, wc, bc, w_img, k) + xc
         return cs_to_nhwc(res, k, x.shape[1], w_img)
 
@@ -465,7 +487,9 @@ class CSUpscaleTail(nn.Module):
             a = alphas[i].astype(y.dtype)
             return jnp.where(y >= 0, y, a * y)
 
-        plan = cs_plan(x.shape)
+        # lane-bound gate as in CSTrunk: beyond ~96 channels XLA's convs
+        # fill the MXU and the wide pm stage (r^2*C) stops fitting VMEM
+        plan = cs_plan(x.shape) if n <= 96 else None
         # every stage input must fit the kernels (S <= 4096; final conv
         # reads S_f <= 16384)
         ok = plan is not None
@@ -696,7 +720,8 @@ class CSBNTrunk(nn.Module):
 
         dtype = self.dtype or x.dtype
         xd = x.astype(dtype)
-        plan = cs_plan(x.shape) if train else None
+        # train-only + lane-bound gate (see CSTrunk on the channel cap)
+        plan = cs_plan(x.shape) if train and n <= 96 else None
         m1, v1, m2, v2 = [], [], [], []
 
         if plan is None:

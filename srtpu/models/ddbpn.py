@@ -19,8 +19,6 @@ from __future__ import annotations
 import math
 from typing import Any
 
-import numpy as np
-
 import jax.numpy as jnp
 from flax import linen as nn
 

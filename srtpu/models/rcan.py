@@ -223,7 +223,10 @@ class RCAN(nn.Module):
 
         dtype = self.dtype or x.dtype
         xd = x.astype(dtype)
-        plan = cs_plan(x.shape)
+        # lane-bound gate (see CSTrunk): cs_plan has no upper channel
+        # bound, but the layout only wins while C under-fills the 128 MXU
+        # lanes and the (3C, S) im2col stacks fit block VMEM
+        plan = cs_plan(x.shape) if n <= 96 else None
         if plan is None:
             res = xd
             for grp in groups:

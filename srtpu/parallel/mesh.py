@@ -51,7 +51,15 @@ def initialize_distributed(coordinator: str | None = None,
     coordinator = coordinator or os.environ.get('SRTPU_COORDINATOR',
                                                 'localhost:12355')
     if process_id is None:
-        process_id = int(os.environ.get('SRTPU_NODE_RANK', 0))
+        rank = os.environ.get('SRTPU_NODE_RANK')
+        if rank is None:
+            # defaulting to 0 would make EVERY host claim rank 0 and hang
+            # the coordinator with no pointer at the misconfiguration
+            raise ValueError(
+                f'num_nodes={num_processes} but the process rank is unset: '
+                'pass trainer.node_rank (or set SRTPU_NODE_RANK) on every '
+                'host, 0..num_nodes-1')
+        process_id = int(rank)
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -104,6 +104,7 @@ class Trainer:
             from srtpu.utils.logging import attach_run_log
             attach_run_log(self.root)
         self.global_step = 0
+        self._last_progress_step = 0
         self.current_epoch = 0
         self._ckpt: CheckpointManager | None = None
 
@@ -370,8 +371,14 @@ class Trainer:
         (the loss value fetch), so the cadence should stay >> 1."""
         cfg = self.cfg
         n = cfg.log_every_n_steps
-        if not cfg.enable_progress_log or n <= 0 or (i + 1) % n:
+        if not cfg.enable_progress_log or n <= 0:
             return
+        # global-step based cadence: with steps_per_execution > 1 this is
+        # only evaluated on multi-step boundaries, so a modulo on the
+        # batch index would fire every lcm(spe, n) batches instead of ~n
+        if self.global_step - self._last_progress_step < n:
+            return
+        self._last_progress_step = self.global_step
         dt = max(time.time() - t0, 1e-9)
         vals = {k: float(logs[k]) for k in loss_keys if k in logs}
         total = f'/{n_batches}' if n_batches else ''

@@ -57,9 +57,13 @@ def attach_run_log(log_dir: str | Path, filename: str = 'run.log',
     untouched (unlike setup_log, which rebuilds root logging for the CLI).
     """
     root = logging.getLogger()
-    if root.level > logging.INFO or root.level == logging.NOTSET:
-        # the file handler must actually receive INFO records
-        root.setLevel(logging.INFO)
+    # Do NOT touch the root level: raising it to INFO would make the
+    # application's own handlers emit INFO from every library. Instead
+    # open only the 'srtpu' subtree so the framework's records reach the
+    # file handler; third-party records flow per the app's own config.
+    pkg = logging.getLogger('srtpu')
+    if pkg.getEffectiveLevel() > logging.INFO:
+        pkg.setLevel(logging.INFO)
     Path(log_dir).mkdir(parents=True, exist_ok=True)
     fileh = logging.handlers.RotatingFileHandler(
         Path(log_dir) / filename, maxBytes=5 * 1024 * 1024, backupCount=3)

@@ -723,3 +723,51 @@ def test_cs_upscale_tail_srresnet_parity(monkeypatch):
             b = b[kp.key]
         np.testing.assert_allclose(a, b, atol=2e-3,
                                    err_msg=jax.tree_util.keystr(pth))
+
+def test_cs_trunk_wide_channels_use_xla_fallback(monkeypatch):
+    """cs_plan has no upper channel bound, but CSTrunk must not route
+    full-lane configs (n_feats > 96) onto the CS kernels: the mega
+    backward's resident (L, 3C, 3C) f32 dW accumulators blow the 40 MB
+    Mosaic VMEM budget at e.g. EDSR-full 256f/32b (151 MB), and at
+    full lanes XLA wins anyway (WDSR-B 128f negative, PERF.md)."""
+    import srtpu.ops.cs_conv as cs
+
+    def boom(*a, **k):
+        raise AssertionError('CS kernels must not run at wide channels')
+
+    monkeypatch.setattr(cs, 'trunk_cs_mega', boom)
+    monkeypatch.setattr(cs, 'trunk_cs', boom)
+    from srtpu.models.common import CSTrunk
+    x = jnp.asarray(np.random.default_rng(0).random((2, 8, 8, 128)),
+                    jnp.float32)
+    m = CSTrunk(n_feats=128, n_resblocks=2)
+    p = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(p, x)   # must take the XLA fallback
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cs_trunk_per_block_budget_fallback(monkeypatch):
+    """Over the mega accumulator budget the trunk routes to the per-block
+    trunk_cs path — identical math, block-sized working sets."""
+    import srtpu.models.common as common
+    from srtpu.models.common import CSTrunk
+    x = jnp.asarray(np.random.default_rng(1).random((2, 8, 8, 16)),
+                    jnp.float32)
+    m = CSTrunk(n_feats=16, n_resblocks=2)
+    p = m.init(jax.random.PRNGKey(0), x)
+    out_mega = m.apply(p, x)
+
+    def loss(params, mod=m):
+        return jnp.sum(jnp.sin(mod.apply(params, x)))
+
+    g_mega = jax.grad(loss)(p)
+    monkeypatch.setattr(common, '_MEGA_ACC_BUDGET', 0)
+    out_blocks = m.apply(p, x)
+    g_blocks = jax.grad(loss)(p)
+    np.testing.assert_allclose(np.asarray(out_blocks),
+                               np.asarray(out_mega), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_blocks),
+                    jax.tree_util.tree_leaves(g_mega)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4)
