@@ -83,3 +83,30 @@ def test_run_assets_written_on_fit(tmp_path):
     assets = json.loads((root / 'assets.json').read_text())
     assert any('model_summary' in a for a in assets)
     assert any('source_snapshot' in a for a in assets)
+
+
+def test_attach_run_log_preserves_app_logging(tmp_path):
+    """Embedding apps keep their root level/handlers untouched; srtpu INFO
+    still reaches run.log (the handler the Trainer attaches)."""
+    from srtpu.utils.logging import attach_run_log
+    root = logging.getLogger()
+    old_handlers, old_level = root.handlers[:], root.level
+    pkg = logging.getLogger('srtpu')
+    old_pkg_level = pkg.level
+    try:
+        for h in root.handlers[:]:
+            root.removeHandler(h)
+        root.setLevel(logging.WARNING)   # the app's own choice
+        fileh = attach_run_log(tmp_path, filename='r.log')
+        assert root.level == logging.WARNING     # untouched
+        logging.getLogger('srtpu.train.loop').info('from-srtpu')
+        logging.getLogger('otherlib').info('from-otherlib')
+        fileh.flush()
+        content = (tmp_path / 'r.log').read_text()
+        assert 'from-srtpu' in content           # framework records captured
+        assert 'from-otherlib' not in content    # app's WARNING still rules
+        root.removeHandler(fileh)
+    finally:
+        root.handlers[:] = old_handlers
+        root.setLevel(old_level)
+        pkg.setLevel(old_pkg_level)
