@@ -282,21 +282,37 @@ def test_upsample_cs_matches_conv_plus_shuffle():
             np.testing.assert_allclose(a, b, atol=2e-3, err_msg=f'r={r}')
 
 
-@pytest.mark.parametrize('scale,n', [(2, 16), (3, 64), (4, 16)])
-def test_cs_tail_phase_major_matches_fallback(monkeypatch, scale, n):
+# NOTE hw must satisfy the interleave alignment gate r*w*k % 128 == 0 for
+# scales with interleave stages (4 and 8), else the tail silently takes
+# the XLA fallback and the test compares the fallback to itself — the
+# pm_calls spy below guards against exactly that (it caught the original
+# hw=8 x4 case being vacuous).
+@pytest.mark.parametrize('scale,n,hw', [(2, 16, 8), (3, 64, 8), (4, 16, 16),
+                                        (8, 16, 16)])
+def test_cs_tail_phase_major_matches_fallback(monkeypatch, scale, n, hw):
     """CSUpscaleTail's CS path (phase-major last stage + phase-dense
     coarse final conv, pixel shuffle absorbed into the weights) vs its
     own XLA fallback (conv + pixel_shuffle + fine conv): values and all
     parameter gradients. scale=3 exercises r=3 phase geometry and the
-    chunked wide-c paths (c_in = 9*64 = 576)."""
+    chunked wide-c paths (c_in = 9*64 = 576); scale=8 chains TWO lane
+    interleave stages + regroups before the phase-major last stage
+    (hw=16 so the r*w*k % 128 interleave alignment gate passes)."""
     import srtpu.ops.cs_conv as cs_mod
     from srtpu.models.common import CSUpscaleTail
     rng = np.random.default_rng(77)
-    x = jnp.asarray(rng.standard_normal((4, 8, 8, n)) * 0.5, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, hw, hw, n)) * 0.5, jnp.float32)
     m = CSUpscaleTail(scale_factor=scale, n_feats=n, channels=3)
     params = m.init(jax.random.PRNGKey(3), x)
 
+    # spy: the pm-stage weight arrangement only runs on the CS path — a
+    # gate regression would otherwise silently compare fallback to itself
+    pm_calls = []
+    real_w_pm_cs = cs_mod.w_pm_cs
+    monkeypatch.setattr(cs_mod, 'w_pm_cs',
+                        lambda *a: pm_calls.append(1) or real_w_pm_cs(*a))
+
     out_cs = m.apply(params, x)
+    assert pm_calls, 'CS path was not taken (gate regression?)'
     g_cs = jax.grad(
         lambda p: jnp.sum(jnp.sin(m.apply(p, x))))(params)
 
@@ -307,7 +323,7 @@ def test_cs_tail_phase_major_matches_fallback(monkeypatch, scale, n):
         lambda p: jnp.sum(jnp.sin(m.apply(p, x))))(params)
     monkeypatch.setattr(cs_mod, 'cs_plan', real_plan)
 
-    assert out_cs.shape == (4, 8 * scale, 8 * scale, 3)
+    assert out_cs.shape == (4, hw * scale, hw * scale, 3)
     np.testing.assert_allclose(out_cs, out_ref, atol=2e-4)
     flat_cs = jax.tree_util.tree_leaves_with_path(g_cs)
     flat_rf = dict(jax.tree_util.tree_leaves_with_path(g_ref))
