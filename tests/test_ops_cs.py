@@ -722,7 +722,12 @@ def test_cs_upscale_tail_srresnet_parity(monkeypatch):
                          act=PReLU, final_ksize=9)
     vs = tail.init(jax.random.PRNGKey(0), x)
     assert 'up0_alpha' in vs['params'] and 'up1_alpha' in vs['params']
+    pm_calls = []
+    real_w_pm_cs = cs_conv.w_pm_cs
+    monkeypatch.setattr(cs_conv, 'w_pm_cs',
+                        lambda *a: pm_calls.append(1) or real_w_pm_cs(*a))
     out_cs = tail.apply(vs, x)
+    assert pm_calls, 'CS path was not taken (gate regression?)'
     gt = jnp.asarray(rng.standard_normal(out_cs.shape), jnp.float32)
 
     def loss(p):
