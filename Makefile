@@ -32,6 +32,11 @@ bench-kernels:
 sweep:
 	$(PY) tools/run_comparisons.py $(ARGS)
 
+# dependency-free: syntax, unused imports, line length (reference
+# .ruff.toml pins line-length only; ruff isn't in this image)
+lint:
+	$(PY) tools/lint.py
+
 # real-dataset quality parity vs reference/literature (BASELINE.json north
 # star); needs datasets/DIV2K + datasets/Set5 etc. on disk
 parity:

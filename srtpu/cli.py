@@ -252,6 +252,15 @@ def _notify(message: str) -> None:
 
 
 def cli_main(argv=None) -> int:
+    import os
+    platform = os.environ.get('SRTPU_PLATFORM')
+    if platform:
+        # force the jax backend BEFORE first use (e.g. SRTPU_PLATFORM=cpu
+        # for CPU-only hosts). The JAX_PLATFORMS env var is NOT enough on
+        # hosts whose sitecustomize registers a TPU plugin (it merges
+        # rather than overrides); jax.config wins over both.
+        import jax
+        jax.config.update('jax_platforms', platform)
     args = build_parser().parse_args(argv)
     if args.command == 'fit':
         return cmd_fit(args)

@@ -18,7 +18,6 @@ so parameters adapt per frequency band like AdaptiveImageLossFunction.
 from __future__ import annotations
 
 import math
-from typing import Any
 
 import jax
 import jax.numpy as jnp

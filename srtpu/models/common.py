@@ -19,7 +19,6 @@ Design notes (TPU-first, not a translation):
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Callable, Sequence
 
 import jax

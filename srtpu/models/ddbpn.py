@@ -265,8 +265,8 @@ class DDBPN(nn.Module):
         the parameter tree differs (CSDenseProjection pre-arranged weights).
         """
         from srtpu.ops.cs_conv import (conv3x3_cs_pre, conv3x3_reference,
-                                       cs_plan, nhwc_to_cs, w_hwio_from_cs,
-                                       w_phase_dense)
+                                       cs_plan, nhwc_to_cs,
+                                       w_hwio_from_cs)
         from srtpu.ops.cs_conv import pm_to_nhwc as cs_pm_to_nhwc
         from srtpu.ops.ddbpn_cs import final_mask_cs, nhwc_to_pm, \
             pm_to_nhwc_fine

@@ -14,7 +14,6 @@ falls back to the unfused XLA path for large eval images.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -87,7 +86,6 @@ ca_layer_fused_trainable.defvjp(_ca_fwd, _ca_bwd)
 
 
 def ca_layer_fits(x_shape, dtype=jnp.float32) -> bool:
-    import numpy as np
     _, h, w, c = x_shape
     itemsize = jnp.dtype(dtype).itemsize
     return 3 * h * w * c * itemsize < _VMEM_BYTES

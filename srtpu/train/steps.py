@@ -9,8 +9,7 @@ computing SR + masked metrics on device.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -59,7 +59,6 @@ def test_steplr_schedule_decays():
     tx = steplr_adam(lr=1.0, step_size=2, gamma=0.1)
     params = {'w': jnp.ones(2)}
     state = tx.init(params)
-    import optax
     # first two steps at lr 1.0, next at 0.1: observe shrinking step size
     g = {'w': jnp.ones(2)}
     sizes = []

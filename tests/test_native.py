@@ -12,7 +12,6 @@ pytestmark = pytest.mark.skipif(not native.available(),
 def test_native_patch_matches_numpy_path():
     """The native fused crop+augment equals crop-then-augment in numpy for
     every (rot, hflip, vflip) combination."""
-    from srtpu.data.pipeline import augment_pair
     rng = np.random.default_rng(0)
     scale, patch = 2, 8
     lp = patch // scale
@@ -62,7 +61,6 @@ def test_native_loader_batch_matches_python_loader(tmp_path):
                              scale_factor=2, seed=7)
         if force_python:
             loader._make_batch_native = None
-            import srtpu.data.pipeline as pl
             b = TrainLoader.__dict__['_make_batch']
             order = np.random.default_rng((7, 0)).permutation(4)
             return b(loader, order[:4], np.random.default_rng((7, 0)))

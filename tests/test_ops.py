@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from srtpu.ops import (ca_layer_fits, ca_layer_fused, ca_layer_reference,
                        resblock_fits, resblock_fused, resblock_reference)

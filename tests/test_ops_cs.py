@@ -574,7 +574,6 @@ def test_wdsr_model_cs_matches_xla_fallback():
     (identical param tree) — the product guarantee that train (kernels)
     and large-image eval (fallback) agree."""
     from srtpu.models import create_model
-    import srtpu.ops.cs_conv as cc
 
     rng = np.random.default_rng(52)
     x = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32)

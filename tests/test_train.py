@@ -440,7 +440,6 @@ def test_crash_containment_saves_artifacts(tiny_dataset, tmp_path,
 def test_in_epoch_step_progress_cadence(tiny_dataset, tmp_path, caplog):
     """log_every_n_steps drives in-epoch progress lines (reference
     ItemsProgressBar items/s, train.py:17-81) — previously a dead knob."""
-    import logging
 
     from srtpu.utils.logging import PRINT
 

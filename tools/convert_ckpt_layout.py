@@ -25,7 +25,6 @@ import math
 from pathlib import Path
 
 import jax
-import numpy as np
 
 jax.config.update('jax_platforms', 'cpu')
 
