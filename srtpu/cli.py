@@ -133,6 +133,8 @@ def cmd_fit(args) -> int:
         _notify(f'srtpu fit {cfg["model"]["class_path"]} FAILED after '
                 f'{time.time() - t0:.0f}s: {type(e).__name__}: {e}')
         raise
+    finally:
+        trainer.close()   # end Comet experiment / close metrics.jsonl
     _logger.info('fit finished in %.1fs; checkpoints at %s',
                  time.time() - t0, Path(tcfg.default_root_dir) /
                  'checkpoints')
@@ -198,13 +200,19 @@ def cmd_validate(args) -> int:
                             'eval_datasets', 'patch_size',
                             'predict_datasets', 'scale_factor',
                             'train_datasets', 'eval_bucket')})
+    # explicit CLI metrics win; else the checkpoint's own hparams snapshot
+    # (runs are self-describing); else the defaults
+    metrics = (cfg['model'].get('init_args', {}).get('metrics')
+               or hp.get('metrics') or ['PSNR', 'SSIM'])
     tcfg = TrainerConfig(
         default_root_dir=cfg['trainer'].get('default_root_dir') or '.',
-        metrics=tuple(cfg['model'].get('init_args', {}).get(
-            'metrics', ['PSNR', 'SSIM'])))
+        metrics=tuple(metrics))
     mesh, _ = _make_mesh_and_sharding(cfg, for_fit=False)
     trainer = Trainer(tcfg, mesh=mesh)
-    metrics = trainer.validate(state, dm)
+    try:
+        metrics = trainer.validate(state, dm)
+    finally:
+        trainer.close()
     for k, v in sorted(metrics.items()):
         print(f'{k}: {v:.4f}')
     return 0
@@ -232,7 +240,11 @@ def cmd_predict(args) -> int:
     tcfg = TrainerConfig(
         default_root_dir=cfg['trainer'].get('default_root_dir') or '.')
     mesh, _ = _make_mesh_and_sharding(cfg, for_fit=False)
-    Trainer(tcfg, mesh=mesh).predict(state, dm)
+    trainer = Trainer(tcfg, mesh=mesh)
+    try:
+        trainer.predict(state, dm)
+    finally:
+        trainer.close()
     return 0
 
 
@@ -249,6 +261,17 @@ def _notify(message: str) -> None:
                            check=False)
         except Exception:
             _logger.warning('notify command failed', exc_info=True)
+    url = os.environ.get('SRTPU_NOTIFY_URL')
+    if url:
+        try:
+            import json
+            import urllib.request
+            req = urllib.request.Request(
+                url, data=json.dumps({'text': message}).encode(),
+                headers={'Content-Type': 'application/json'})
+            urllib.request.urlopen(req, timeout=30).read()
+        except Exception:
+            _logger.warning('notify POST failed', exc_info=True)
 
 
 def cli_main(argv=None) -> int:

@@ -206,6 +206,18 @@ def link_arguments(cfg: dict) -> dict:
     init.setdefault('scale_factor', data['scale_factor'])
     init.setdefault('channels', 3)
 
+    # model.init_args.* -> data/trainer: reference experiment configs put
+    # these knobs on the model ctor (srmodel.py:76-98); route each to the
+    # section that owns it here. model.init_args wins over the section
+    # value, matching the reference where the ctor was the only owner.
+    for key in ('batch_size', 'patch_size', 'eval_datasets',
+                'predict_datasets'):
+        if key in init:
+            data[key] = init[key]
+    for key in ('max_epochs', 'default_root_dir', 'devices'):
+        if key in init:
+            trainer[key] = init[key]
+
     # trainer.default_root_dir default mirrors all.yml:80
     if trainer.get('default_root_dir') is None:
         trainer['default_root_dir'] = (
@@ -242,6 +254,7 @@ def build_all(cfg: dict):
     cfg = link_arguments(cfg)
     data, model_cfg, trainer = cfg['data'], cfg['model'], cfg['trainer']
     model_kw, train_kw = split_training_args(model_cfg.get('init_args', {}))
+
 
     # model.init_args.precision (reference srmodel.py:92 owns this knob)
     # takes precedence over trainer.precision
@@ -314,6 +327,10 @@ def build_all(cfg: dict):
             'precision': precision,
             'seed': cfg.get('seed', 42),
             'monitor': monitor,
+            # checkpoints must be self-describing: validate/predict from a
+            # checkpoint recover the metrics the run was monitored on
+            'metrics': list(train_kw['metrics']),
+            'metrics_for_pbar': list(train_kw['metrics_for_pbar']),
         },
     }
     return model, dm, tcfg, fit_kwargs

@@ -82,6 +82,23 @@ def reconcile_eval_pair(lr: np.ndarray, hr: np.ndarray, scale: int):
     return lr, hr
 
 
+def center_crop(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """torchvision TF.center_crop semantics (reference srdata.py:97-99):
+    zero-pads symmetrically when the image is smaller than the crop, so
+    small eval images yield aligned patch_size crops instead of silently
+    misaligned negative-index slices."""
+    h, w = img.shape[:2]
+    if h < th or w < tw:
+        pt = max((th - h) // 2, 0)
+        pb = max(th - h - pt, 0)
+        pl = max((tw - w) // 2, 0)
+        pr = max(tw - w - pl, 0)
+        img = np.pad(img, ((pt, pb), (pl, pr), (0, 0)))
+        h, w = img.shape[:2]
+    top, left = (h - th) // 2, (w - tw) // 2
+    return img[top:top + th, left:left + tw]
+
+
 def pad_to_bucket(img: np.ndarray, bucket: int):
     """Pad H/W up to the next multiple of ``bucket`` (edge padding keeps
     conv statistics sane at the seam). Returns (padded, (h, w))."""
@@ -319,6 +336,10 @@ class EvalLoader:
         for i in range(len(self._source)):
             lr, hr, name = self._source.get(i)
             if self._mode == 'predict':
+                if self._patch > 0:
+                    # reference test/predict mode crops LR to patch_size
+                    # (srdata.py:116-117)
+                    lr = center_crop(lr, self._patch, self._patch)
                 lr_p, (h, w) = pad_to_bucket(lr, self._bucket)
                 yield Batch(lr=lr_p[None], hr=None,
                             mask=None, names=(name,),
@@ -328,15 +349,11 @@ class EvalLoader:
             if hr is None:
                 raise ValueError(f'No HR image for {name}')
             if self._patch > 0:
-                # center-crop eval patches (reference srdata.py:97-99)
-                hh, hw = hr.shape[:2]
-                th = tw = self._patch
-                top, left = (hh - th) // 2, (hw - tw) // 2
-                hr = hr[top:top + th, left:left + tw]
+                # center-crop eval patches (reference srdata.py:97-99);
+                # zero-pads images smaller than the patch like TF.center_crop
+                hr = center_crop(hr, self._patch, self._patch)
                 lp = self._patch // self._scale
-                lh, lw = lr.shape[:2]
-                top, left = (lh - lp) // 2, (lw - lp) // 2
-                lr = lr[top:top + lp, left:left + lp]
+                lr = center_crop(lr, lp, lp)
             else:
                 lr, hr = reconcile_eval_pair(lr, hr, self._scale)
 

@@ -102,7 +102,7 @@ class ImageFolderSource(_CachedSource):
                 return None
             files = [f for f in Path(d).glob('*')
                      if f.suffix.lower() in extensions]
-            return sorted(files) if mode != 'train' else sorted(files)
+            return sorted(files)
 
         self._hr_files = list_dir(hr_dir)
         self._lr_files = list_dir(lr_dir)

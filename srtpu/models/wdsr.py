@@ -102,29 +102,15 @@ class _BlockB(nn.Module):
         """Fused Pallas path (srtpu.ops.wdsr_block): the 6x-expanded
         activation never leaves VMEM. Weight-norm kernels are materialized
         here (w = g * v/||v||) so the kernel sees plain weights."""
-        import math
         from srtpu.ops.wdsr_block import (wdsr_block_fits,
                                           wdsr_block_fused,
                                           wdsr_block_reference)
-        from .common import torch_uniform_init
         n, e, L = self.n_feats, self.n_feats * expand, \
             int(self.n_feats * linear)
 
-        def wn_params(name, k, cin, cout):
-            bound = 1.0 / math.sqrt(k * k * cin)
-            v = self.param(f'{name}_v', torch_uniform_init(bound),
-                           (k, k, cin, cout))
-            g = self.param(
-                f'{name}_g', lambda key, shape: jnp.linalg.norm(
-                    jax.lax.stop_gradient(v).reshape(-1, cout), axis=0),
-                (cout,))
-            b = self.param(f'{name}_b', torch_uniform_init(bound), (cout,))
-            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2)) + 1e-12)
-            return v * (g / norm), b
-
-        w1, b1 = wn_params('expand', 1, n, e)
-        w2, b2 = wn_params('linear', 1, e, L)
-        w3, b3 = wn_params('conv', 3, L, n)
+        w1, b1 = self._wn_params('expand', 1, n, e)
+        w2, b2 = self._wn_params('linear', 1, e, L)
+        w3, b3 = self._wn_params('conv', 3, L, n)
         dtype = self.dtype or x.dtype
         args = (x.astype(dtype), w1[0, 0].astype(dtype),
                 b1.astype(jnp.float32), w2[0, 0].astype(dtype),

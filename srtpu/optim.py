@@ -109,9 +109,21 @@ def _centralize() -> optax.GradientTransformation:
 
     def update(updates, state, params=None):
         def c(g):
-            if g.ndim >= 3:  # conv kernels only (GC-conv variant)
-                axes = tuple(range(g.ndim - 1))
-                return g - jnp.mean(g, axis=axes, keepdims=True)
+            if g.ndim == 4:
+                # HWIO conv kernel: per-output-channel mean over
+                # (h, w, c_in) — matches torch GC-conv (mean over all
+                # dims but dim 0 of OIHW); for HWOI transposed kernels
+                # this is per-input-channel, which is ALSO what torch GC
+                # does on ConvTranspose (its dim 0 is c_in)
+                return g - jnp.mean(g, axis=(0, 1, 2), keepdims=True)
+            if g.ndim == 3 and g.shape[1] % 3 == 0 and g.shape[2] % 3 == 0:
+                # stacked CS-arranged conv weights (L, 3C', 3C) — rows are
+                # (dy, c_out), cols (dx, c_in): per-(l, c_out) mean over
+                # taps x c_in, so CS-path training matches the HWIO path
+                l, r3, cols = g.shape
+                v = g.reshape(l, 3, r3 // 3, cols)
+                return (v - jnp.mean(v, axis=(1, 3), keepdims=True)) \
+                    .reshape(g.shape)
             return g
         return jax.tree_util.tree_map(c, updates), state
 
@@ -164,6 +176,12 @@ def build_optimizer(name: str, params: dict[str, Any] | list[str] | None = None
             f'Optimizer not recognized: {name}. Supported optimizers: '
             f'{", ".join(supported_optimizers())}')
 
+    if kw:
+        # the reference silently dropped user optimizer params
+        # (srmodel.py:602); silently ignoring UNKNOWN ones would be the
+        # same bug in a smaller box — fail loudly instead
+        raise ValueError(
+            f'optimizer params not supported by {name}: {sorted(kw)}')
     if weight_decay:
         tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
     return tx

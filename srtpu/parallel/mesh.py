@@ -148,13 +148,15 @@ def replicate_state(mesh: Mesh, state):
 
 
 def make_parallel_train_step(composite_loss, mesh: Mesh,
-                             donate: bool = True):
+                             donate: bool = True, remat: bool = False):
     """Data(+spatial)-parallel train step.
 
     The batch arrives sharded (N over 'data', H over 'spatial'); parameters
     and optimizer state are replicated. jax.jit + the SPMD partitioner turn
     the loss-mean into a psum over ICI — no hand-written collectives needed
     (scaling-book recipe: annotate shardings, let XLA insert collectives).
+    ``remat`` rematerializes the forward exactly like the single-device
+    step (trainer.remat works the same with or without a mesh).
     """
     import jax.numpy as jnp
     from srtpu.train.state import TrainState
@@ -170,7 +172,11 @@ def make_parallel_train_step(composite_loss, mesh: Mesh,
                     variables, lr_img, train=True, mutable=['batch_stats'])
                 new_bs = mutated['batch_stats']
             else:
-                sr = state.apply_fn(variables, lr_img, train=True)
+                def fwd(params, x):
+                    return state.apply_fn({'params': params}, x, train=True)
+                if remat:
+                    fwd = jax.checkpoint(fwd)
+                sr = fwd(trainable['model'], lr_img)
                 new_bs = None
             total, parts = composite_loss(sr.astype(jnp.float32),
                                           hr_img.astype(jnp.float32),

@@ -108,6 +108,18 @@ class Trainer:
         self.current_epoch = 0
         self._ckpt: CheckpointManager | None = None
 
+    def close(self) -> None:
+        """Release tracker backends (ends the Comet experiment, closes the
+        metrics.jsonl handle). Idempotent; the CLI calls it after each
+        command, __del__ is the best-effort backstop for embedders."""
+        self.tb.close()
+
+    def __del__(self):
+        try:
+            self.tb.close()
+        except Exception:
+            pass
+
     # ------------------------------------------------------------------ fit
 
     def fit(self, model, datamodule, losses: str = 'l1',
@@ -190,7 +202,8 @@ class Trainer:
             from srtpu.parallel import (make_parallel_train_step,
                                         replicate_state)
             state = replicate_state(self.mesh, state)
-            train_step = make_parallel_train_step(composite, self.mesh)
+            train_step = make_parallel_train_step(composite, self.mesh,
+                                                  remat=cfg.remat)
             if spe > 1:
                 _logger.warning('steps_per_execution>1 is single-device '
                                 'only; ignoring under a mesh')

@@ -106,6 +106,7 @@ class MultiTracker:
 
     def __init__(self, root: str | Path, tb_dir: str | Path | None):
         self.tb = TBLogger(tb_dir)
+        self._closed = False
         self._backends = [self.tb, JsonlTracker(root)]
         if os.environ.get('COMET_API_KEY'):
             try:
@@ -147,4 +148,9 @@ class MultiTracker:
         self._fanout('flush')
 
     def close(self) -> None:
+        """Idempotent: ends the Comet experiment and closes the JSONL
+        handle; the Trainer calls this when its work is done."""
+        if self._closed:
+            return
+        self._closed = True
         self._fanout('close')

@@ -76,6 +76,27 @@ def test_split_training_args():
     assert train_kw['metrics'] == ['PSNR', 'SSIM']  # defaults filled
 
 
+def test_model_init_args_training_knobs_route():
+    """Reference configs put training knobs on the model ctor
+    (srmodel.py:76-98): max_epochs/batch_size/patch_size/eval_datasets on
+    model.init_args must actually reach the trainer/data sections, not be
+    silently dropped."""
+    cfg = load_config(overrides=[
+        'model.init_args.max_epochs=7', 'model.init_args.batch_size=2',
+        'model.init_args.patch_size=32',
+        'model.init_args.eval_datasets=[Set5]',
+        'trainer.max_epochs=999'])
+    model, dm, tcfg, fit_kwargs = build_all(cfg)
+    assert tcfg.max_epochs == 7          # init_args wins
+    assert dm._batch_size == 2
+    assert dm._patch_size == 32
+    assert list(dm._eval_names) == ['Set5']
+    # devices routes to the trainer section the CLI mesh-builder reads
+    cfg2 = link_arguments(load_config(
+        overrides=['model.init_args.devices=4']))
+    assert cfg2['trainer']['devices'] == 4
+
+
 def test_build_all_constructs():
     cfg = load_config(overrides=[
         'model.class_path=EDSR', 'model.init_args.n_feats=8',
@@ -134,11 +155,13 @@ def test_cli_fit_validate_predict_e2e(tiny_dataset, tmp_path):
     assert (root / 'checkpoints' / 'hparams.json').exists()
     hp = json.loads((root / 'checkpoints' / 'hparams.json').read_text())
     assert hp['model'] == 'SRCNN'
+    # checkpoints are self-describing: the metrics the run was monitored
+    # on are in the snapshot, so validate-from-checkpoint recovers them
+    assert hp['metrics'] == ['PSNR']
 
     rc = cli_main([
         'validate', '--checkpoint', str(root / 'checkpoints'),
         f'trainer.default_root_dir={tmp_path / "val"}',
-        'model.init_args.metrics=[PSNR]',
     ])
     assert rc == 0
 

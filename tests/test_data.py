@@ -266,3 +266,30 @@ def test_loader_worker_count_invariance(tmp_path):
     np.testing.assert_array_equal(batches[1].lr, batches[3].lr)
     np.testing.assert_array_equal(batches[1].hr, batches[3].hr)
     assert batches[1].names == batches[3].names
+
+
+def test_eval_center_crop_pads_small_images(tmp_path):
+    """Images smaller than eval patch_size zero-pad like torchvision
+    center_crop (reference srdata.py:97-99) instead of producing
+    misaligned negative-index slices."""
+    from PIL import Image
+    from srtpu.data.pipeline import EvalLoader, center_crop
+    hr_dir = tmp_path / 'S' / 'HR'
+    hr_dir.mkdir(parents=True)
+    img = np.zeros((12, 12, 3), np.uint8)
+    img[:, :, 0] = 200
+    Image.fromarray(img).save(hr_dir / 'small.png')
+    src = ImageFolderSource(hr_dir=hr_dir, lr_dir=None, scale_factor=2,
+                            mode='eval')
+    loader = EvalLoader(src, scale_factor=2, bucket=1, patch_size=32)
+    batch = next(iter(loader))
+    assert batch.hr.shape[1:3] == (32, 32)
+    assert batch.lr.shape[1:3] == (16, 16)
+    # original content centered, zero padding around it
+    hr = batch.hr[0]
+    assert np.all(hr[10:22, 10:22, 0] > 0.5)
+    assert np.all(hr[:10] == 0) and np.all(hr[22:] == 0)
+    # helper semantics directly
+    out = center_crop(np.ones((4, 4, 1), np.float32), 8, 8)
+    assert out.shape == (8, 8, 1)
+    assert out[4, 4, 0] == 1.0 and out[0, 0, 0] == 0.0

@@ -93,6 +93,24 @@ def test_parallel_train_step_matches_single_device(mesh8):
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_parallel_step_remat_matches(mesh8):
+    """trainer.remat under a mesh computes the identical update (round-3
+    fix: the parallel step silently ignored remat)."""
+    model, composite, state, lr_img, hr_img = _setup(mesh8)
+    pstate = replicate_state(mesh8, state)
+    lr_s, hr_s = shard_batch(mesh8, np.asarray(lr_img), np.asarray(hr_img))
+    s1, logs1 = make_parallel_train_step(composite, mesh8, donate=False)(
+        pstate, lr_s, hr_s)
+    s2, logs2 = make_parallel_train_step(
+        composite, mesh8, donate=False, remat=True)(pstate, lr_s, hr_s)
+    np.testing.assert_allclose(float(logs1['loss']), float(logs2['loss']),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_parallel_multi_step_convergence(mesh8):
     model, composite, state, lr_img, hr_img = _setup(mesh8)
     pstate = replicate_state(mesh8, state)

@@ -61,6 +61,41 @@ def test_unknown_optimizer_raises():
         build_optimizer('Nope', [])
 
 
+def test_unconsumed_optimizer_params_raise():
+    """Unknown/unsupported optimizer params must error, not be silently
+    dropped (the reference bug srmodel.py:602 was exactly silent drop)."""
+    with pytest.raises(ValueError, match='lr_decay'):
+        build_optimizer('ADAM', ['lr=1e-4', 'lr_decay=0.5'])
+    with pytest.raises(ValueError, match='typo_knob'):
+        build_optimizer('SGD', ['typo_knob=1'])
+
+
+def test_gradient_centralization_cs_matches_hwio():
+    """RangerVA's centralization on stacked CS-arranged weights (L,3C,3C)
+    equals centralizing the same gradients in HWIO layout — so the CS and
+    XLA param layouts train identically under RangerVA."""
+    from srtpu.optim import _centralize
+    from srtpu.ops.cs_conv import w_cs_batch, w_hwio_from_cs
+    rng = np.random.default_rng(4)
+    g_hwio = jnp.asarray(rng.standard_normal((2, 3, 3, 8, 8)), jnp.float32)
+    gc = _centralize()
+    state = gc.init(None)
+
+    # HWIO path: per-output-channel mean over (h, w, c_in), per block
+    ref = g_hwio - jnp.mean(g_hwio, axis=(1, 2, 3), keepdims=True)
+    got_cs, _ = gc.update({'w': w_cs_batch(g_hwio)}, state)
+    np.testing.assert_allclose(np.asarray(got_cs['w']),
+                               np.asarray(w_cs_batch(ref)), atol=1e-6)
+    # plain 4-D HWIO kernels keep torch GC-conv semantics
+    got4, _ = gc.update({'w': g_hwio[0]}, state)
+    np.testing.assert_allclose(np.asarray(got4['w']), np.asarray(ref[0]),
+                               atol=1e-6)
+    # check round-trip sanity of the layout helper used above
+    np.testing.assert_allclose(
+        np.asarray(w_hwio_from_cs(w_cs_batch(g_hwio), 8, 8)),
+        np.asarray(g_hwio), atol=0)
+
+
 def test_fit_e2e_srcnn(tiny_dataset, tmp_path):
     dm = SRData(batch_size=4, datasets_dir=tiny_dataset, patch_size=16,
                 scale_factor=2, train_datasets=['TinyTrain'],
