@@ -158,37 +158,9 @@ def make_parallel_train_step(composite_loss, mesh: Mesh,
     ``remat`` rematerializes the forward exactly like the single-device
     step (trainer.remat works the same with or without a mesh).
     """
-    import jax.numpy as jnp
-    from srtpu.train.state import TrainState
+    from srtpu.train.steps import train_step_body
 
-    def train_step(state: TrainState, lr_img, hr_img):
-        has_bn = bool(state.batch_stats)
-
-        def loss_fn(trainable):
-            variables = {'params': trainable['model']}
-            if has_bn:
-                variables['batch_stats'] = state.batch_stats
-                sr, mutated = state.apply_fn(
-                    variables, lr_img, train=True, mutable=['batch_stats'])
-                new_bs = mutated['batch_stats']
-            else:
-                def fwd(params, x):
-                    return state.apply_fn({'params': params}, x, train=True)
-                if remat:
-                    fwd = jax.checkpoint(fwd)
-                sr = fwd(trainable['model'], lr_img)
-                new_bs = None
-            total, parts = composite_loss(sr.astype(jnp.float32),
-                                          hr_img.astype(jnp.float32),
-                                          trainable['loss'])
-            return total, (parts, new_bs)
-
-        grads, (parts, new_bs) = jax.grad(
-            loss_fn, has_aux=True)(state.trainable)
-        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
-        logs = {'loss': sum(parts.values()) if parts else 0.0}
-        logs.update({f'loss/{k}': v for k, v in parts.items()})
-        return new_state, logs
+    train_step = train_step_body(composite_loss, remat)
 
     rep = replicated(mesh)
     data = batch_sharding(mesh)

@@ -29,14 +29,17 @@ def dealias_state(state):
     return jax.tree_util.tree_map(jnp.copy, state)
 
 
-def make_train_step(composite_loss, donate: bool = True,
-                    remat: bool = False):
-    """Build train_step(state, lr, hr) -> (state, logs).
+def train_step_body(composite_loss, remat: bool = False):
+    """The ONE train-step body every step builder wraps: forward (with BN
+    mutable-state threading), composite loss, grad, optimizer update, log
+    dict. make_train_step jits it, make_multi_train_step scans it, and
+    parallel/mesh.py's make_parallel_train_step jits it with shardings —
+    a single definition so the three paths cannot drift.
 
     ``remat=True`` wraps the forward in jax.checkpoint, trading FLOPs for
-    HBM (recompute activations in the backward) — the standard TPU move for
-    deep models / large patches. Ignored for batch-norm models (mutable
-    state does not thread through checkpointed functions).
+    HBM (recompute activations in the backward) — the standard TPU move
+    for deep models / large patches. Ignored for batch-norm models
+    (mutable state does not thread through checkpointed functions).
     """
 
     def train_step(state: TrainState, lr_img: jax.Array, hr_img: jax.Array):
@@ -68,7 +71,14 @@ def make_train_step(composite_loss, donate: bool = True,
         logs.update({f'loss/{k}': v for k, v in parts.items()})
         return new_state, logs
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
+
+
+def make_train_step(composite_loss, donate: bool = True,
+                    remat: bool = False):
+    """Build train_step(state, lr, hr) -> (state, logs) (jitted)."""
+    body = train_step_body(composite_loss, remat)
+    return jax.jit(body, donate_argnums=(0,) if donate else ())
 
 
 def make_multi_train_step(composite_loss, steps_per_execution: int,
@@ -80,36 +90,10 @@ def make_multi_train_step(composite_loss, steps_per_execution: int,
     k steps on device amortizes it k-fold. Batches arrive stacked as
     (k, B, ...); returns the last step's logs.
     """
+    body = train_step_body(composite_loss, remat)
 
     def one_step(state: TrainState, batch):
-        lr_img, hr_img = batch
-        has_bn = bool(state.batch_stats)
-
-        def loss_fn(trainable):
-            variables = {'params': trainable['model']}
-            if has_bn:
-                variables['batch_stats'] = state.batch_stats
-                sr, mutated = state.apply_fn(
-                    variables, lr_img, train=True, mutable=['batch_stats'])
-                new_bs = mutated['batch_stats']
-            else:
-                def fwd(params, x):
-                    return state.apply_fn({'params': params}, x, train=True)
-                if remat:
-                    fwd = jax.checkpoint(fwd)
-                sr = fwd(trainable['model'], lr_img)
-                new_bs = None
-            total, parts = composite_loss(sr.astype(jnp.float32),
-                                          hr_img.astype(jnp.float32),
-                                          trainable['loss'])
-            return total, (parts, new_bs)
-
-        grads, (parts, new_bs) = jax.grad(
-            loss_fn, has_aux=True)(state.trainable)
-        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
-        logs = {'loss': sum(parts.values()) if parts else 0.0}
-        logs.update({f'loss/{k}': v for k, v in parts.items()})
-        return new_state, logs
+        return body(state, *batch)
 
     def multi_step(state: TrainState, lr_stack: jax.Array,
                    hr_stack: jax.Array):
