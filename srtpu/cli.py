@@ -49,6 +49,21 @@ def build_parser() -> argparse.ArgumentParser:
                       help='checkpoint directory written by fit')
 
     bench = sub.add_parser('bench', help='run the throughput benchmark')
+
+    exp = sub.add_parser(
+        'export', help='serialize the serving forward (StableHLO)')
+    exp.add_argument('--checkpoint', required=True,
+                     help='checkpoint directory written by fit')
+    exp.add_argument('--out', required=True, help='output artifact path')
+    exp.add_argument('--batch', type=int, default=1)
+    exp.add_argument('--size', default='256x256',
+                     help='LR input HxW (static serving shape)')
+    exp.add_argument('--platforms', nargs='+', default=None,
+                     help="lowering platforms, e.g. tpu cpu "
+                          "(default: the current backend); cross-platform "
+                          "export works without the target hardware")
+    exp.add_argument('overrides', nargs='*',
+                     help='dotted key=value overrides (data.* honored)')
     return parser
 
 
@@ -248,6 +263,44 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Serialize the model's serving forward with ``jax.export``.
+
+    Produces a single self-contained artifact (weights baked in as
+    constants, static input shape) loadable with
+    ``jax.export.deserialize(blob).call(lr)`` — the TPU-native analog of
+    a TorchScript/ONNX serving export, which the reference lacks. The
+    compute path lowered is the portable XLA one: the CS Pallas kernels
+    gate on the *lowering host's* backend and on shapes, so exports from
+    a CPU host (and all large serving shapes) use plain XLA convs with
+    the same parameters.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    state, hp, data = _restore(args.checkpoint, args.overrides)
+    scale = int(data.get('scale_factor', 4))
+    h, w = (int(v) for v in args.size.lower().split('x'))
+
+    def serve(lr):
+        variables = {'params': state.params}
+        if state.batch_stats:
+            variables['batch_stats'] = state.batch_stats
+        sr = state.apply_fn(variables, lr, train=False)
+        return jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
+
+    spec = jax.ShapeDtypeStruct((args.batch, h, w, 3), jnp.float32)
+    platforms = args.platforms or [jax.default_backend()]
+    exp = jax_export.export(jax.jit(serve), platforms=platforms)(spec)
+    blob = exp.serialize()
+    Path(args.out).write_bytes(blob)
+    print(f'exported {hp["model"]} x{scale}: LR {tuple(spec.shape)} -> '
+          f'SR {(args.batch, h * scale, w * scale, 3)}, platforms '
+          f'{exp.platforms}, {len(blob):,} bytes -> {args.out}')
+    return 0
+
+
 def _notify(message: str) -> None:
     """Run-completion notification hook (reference utils.sh:12-38 telegram
     notify): POSTs to SRTPU_NOTIFY_URL or runs SRTPU_NOTIFY_CMD if set."""
@@ -296,6 +349,8 @@ def cli_main(argv=None) -> int:
         runpy.run_path(str(Path(__file__).parent.parent / 'bench.py'),
                        run_name='__main__')
         return 0
+    if args.command == 'export':
+        return cmd_export(args)
     return 2
 
 

@@ -132,6 +132,45 @@ trainer:
     assert tcfg.default_root_dir == 'WDSR_run'
 
 
+def test_cli_export_roundtrip(tiny_dataset, tmp_path):
+    """`srtpu export` writes a jax.export artifact whose deserialized
+    call reproduces the restored model's forward exactly."""
+    import jax.numpy as jnp
+    from jax import export as jax_export
+    from srtpu.cli import cli_main
+
+    root = tmp_path / 'exp'
+    rc = cli_main([
+        'fit', f'data.datasets_dir={tiny_dataset}',
+        'data.train_datasets=[Tr]', 'data.eval_datasets=[Va]',
+        'data.batch_size=2', 'data.patch_size=16', 'data.scale_factor=2',
+        'data.eval_bucket=16', 'model.class_path=SRCNN',
+        'trainer.max_epochs=1', 'trainer.check_val_every_n_epoch=1',
+        'trainer.num_sanity_val_steps=0',
+        f'trainer.default_root_dir={root}', 'trainer.monitor=Va/PSNR',
+    ])
+    assert rc == 0
+    out = tmp_path / 'model.jaxexp'
+    rc = cli_main(['export', '--checkpoint', str(root / 'checkpoints'),
+                   '--out', str(out), '--batch', '1', '--size', '24x24'])
+    assert rc == 0 and out.stat().st_size > 0
+
+    exp = jax_export.deserialize(out.read_bytes())
+    lr = jnp.asarray(np.random.default_rng(0).random((1, 24, 24, 3)),
+                     jnp.float32)
+    got = np.asarray(exp.call(lr))
+    assert got.shape == (1, 48, 48, 3)
+
+    from srtpu.cli import _restore
+    state, hp, _ = _restore(str(root / 'checkpoints'), [])
+    want = np.clip(np.asarray(
+        state.apply_fn({'params': state.params}, lr, train=False),
+        np.float32), 0.0, 1.0)
+    # the model computes in bf16; export lowering may fuse differently
+    # than the local jit, so agreement is at bf16 resolution
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
 def test_cli_fit_srgan_e2e(tiny_dataset, tmp_path):
     """SRGAN through the real CLI: config layer -> Trainer auto-dispatch
     into the adversarial D/G loop (reference srgan.py capability via
