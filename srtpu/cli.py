@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="lowering platforms, e.g. tpu cpu "
                           "(default: the current backend); cross-platform "
                           "export works without the target hardware")
+    exp.add_argument('--mlir', default=None,
+                     help='also write human-readable StableHLO text here')
     exp.add_argument('overrides', nargs='*',
                      help='dotted key=value overrides (data.* honored)')
     return parser
@@ -295,9 +297,12 @@ def cmd_export(args) -> int:
     exp = jax_export.export(jax.jit(serve), platforms=platforms)(spec)
     blob = exp.serialize()
     Path(args.out).write_bytes(blob)
+    if args.mlir:
+        Path(args.mlir).write_text(exp.mlir_module())
     print(f'exported {hp["model"]} x{scale}: LR {tuple(spec.shape)} -> '
           f'SR {(args.batch, h * scale, w * scale, 3)}, platforms '
-          f'{exp.platforms}, {len(blob):,} bytes -> {args.out}')
+          f'{exp.platforms}, {len(blob):,} bytes -> {args.out}'
+          + (f' (+ StableHLO text {args.mlir})' if args.mlir else ''))
     return 0
 
 
