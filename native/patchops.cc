@@ -12,8 +12,10 @@
 // (srtpu/data/native.py builds it on first use and caches the .so).
 
 #include <cmath>
+#include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -31,27 +33,54 @@ extern "C" {
 // (w axis), then optional vertical flip (h axis).
 // ---------------------------------------------------------------------------
 
+// destination (y, x) <- source coordinate after the inverse transform:
+// inverse of rot90(k) counter-clockwise applied k times
+// (np.rot90 CCW: out[i][j] = in[j][p-1-i]), after undoing the flips.
+static inline void map_coord(int y, int x, int p, int rot, int hflip,
+                             int vflip, int* yy_out, int* xx_out) {
+  int yy = y, xx = x;
+  if (vflip) yy = p - 1 - yy;
+  if (hflip) xx = p - 1 - xx;
+  for (int r = 0; r < rot; ++r) {
+    int t = yy;
+    yy = xx;
+    xx = p - 1 - t;
+  }
+  *yy_out = yy;
+  *xx_out = xx;
+}
+
 static inline void copy_patch_augmented(
     const float* src, int src_w, int c,
     int y0, int x0, int p,          // crop origin and size (square)
     int rot, int hflip, int vflip,
     float* dst) {                   // (p, p, c)
+  // All 16 transforms are affine in (y, x), so the source pointer walks
+  // with constant strides — derive them from three mapped corners instead
+  // of recomputing the inverse rotation per pixel (6x the loop cost).
+  int yy0, xx0, yy1, xx1, yy2, xx2;
+  map_coord(0, 0, p, rot, hflip, vflip, &yy0, &xx0);
+  map_coord(1, 0, p, rot, hflip, vflip, &yy1, &xx1);
+  map_coord(0, 1, p, rot, hflip, vflip, &yy2, &xx2);
+  const ptrdiff_t sy = ((yy1 - yy0) * (ptrdiff_t)src_w + (xx1 - xx0)) * c;
+  const ptrdiff_t sx = ((yy2 - yy0) * (ptrdiff_t)src_w + (xx2 - xx0)) * c;
+  const float* s0 =
+      src + ((y0 + yy0) * (size_t)src_w + (x0 + xx0)) * (size_t)c;
+  const size_t row = (size_t)p * c;
   for (int y = 0; y < p; ++y) {
-    for (int x = 0; x < p; ++x) {
-      // destination (y, x) <- source coordinate after inverse transform
-      int yy = y, xx = x;
-      if (vflip) yy = p - 1 - yy;
-      if (hflip) xx = p - 1 - xx;
-      // inverse of rot90(k) counter-clockwise applied k times:
-      // np.rot90 CCW: out[i][j] = in[j][p-1-i]; applying k times.
-      for (int r = 0; r < rot; ++r) {
-        int t = yy;
-        yy = xx;
-        xx = p - 1 - t;
+    const float* s = s0 + (ptrdiff_t)y * sy;
+    float* d = dst + y * row;
+    if (sx == c) {                  // source row contiguous: straight copy
+      memcpy(d, s, row * sizeof(float));
+    } else if (c == 3) {
+      for (int x = 0; x < p; ++x, s += sx, d += 3) {
+        d[0] = s[0];
+        d[1] = s[1];
+        d[2] = s[2];
       }
-      const float* s = src + ((y0 + yy) * (size_t)src_w + (x0 + xx)) * c;
-      float* d = dst + (y * (size_t)p + x) * c;
-      for (int ch = 0; ch < c; ++ch) d[ch] = s[ch];
+    } else {
+      for (int x = 0; x < p; ++x, s += sx, d += c)
+        for (int ch = 0; ch < c; ++ch) d[ch] = s[ch];
     }
   }
 }
@@ -70,6 +99,49 @@ void extract_patch_pair(
                        rot, hflip, vflip, out_lr);
   copy_patch_augmented(hr, hr_w, c, lr_y * scale, lr_x * scale,
                        lr_patch * scale, rot, hflip, vflip, out_hr);
+}
+
+// ---------------------------------------------------------------------------
+// Whole-batch variant: ONE ctypes crossing per batch instead of one per
+// item. The per-item dispatch overhead (~80 us of ctypes argument
+// marshalling per call) capped the Python loader at ~6k patches/s on a
+// 1-core host — below the device's training rate. Items are striped
+// across nthreads std::threads on multi-core hosts (<= 1 runs serial).
+// ---------------------------------------------------------------------------
+
+void extract_patch_batch(
+    const float* const* lrs, const int* lr_ws,
+    const float* const* hrs, const int* hr_ws,
+    int n, int c, int scale, int lr_patch,
+    const int* lr_ys, const int* lr_xs,
+    const int* rots, const int* hflips, const int* vflips,
+    float* out_lr, float* out_hr, int nthreads) {
+  const size_t lr_item = (size_t)lr_patch * lr_patch * c;
+  const int hp = lr_patch * scale;
+  const size_t hr_item = (size_t)hp * hp * c;
+  auto run = [&](int lo, int hi) {
+    for (int i = lo; i < hi; ++i) {
+      copy_patch_augmented(lrs[i], lr_ws[i], c, lr_ys[i], lr_xs[i],
+                           lr_patch, rots[i], hflips[i], vflips[i],
+                           out_lr + (size_t)i * lr_item);
+      copy_patch_augmented(hrs[i], hr_ws[i], c, lr_ys[i] * scale,
+                           lr_xs[i] * scale, hp, rots[i], hflips[i],
+                           vflips[i], out_hr + (size_t)i * hr_item);
+    }
+  };
+  if (nthreads <= 1 || n <= 1) {
+    run(0, n);
+    return;
+  }
+  const int t = nthreads < n ? nthreads : n;
+  std::vector<std::thread> workers;
+  workers.reserve(t);
+  for (int j = 0; j < t; ++j) {
+    const int lo = (int)((long)n * j / t);
+    const int hi = (int)((long)n * (j + 1) / t);
+    if (lo < hi) workers.emplace_back(run, lo, hi);
+  }
+  for (auto& w : workers) w.join();
 }
 
 // ---------------------------------------------------------------------------

@@ -27,8 +27,8 @@ def _build() -> bool:
     src = _NATIVE_DIR / 'patchops.cc'
     if not src.exists():
         return False
-    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC', str(src),
-           '-o', str(_SO_PATH)]
+    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC', '-pthread',
+           str(src), '-o', str(_SO_PATH)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -59,6 +59,11 @@ def get_lib():
         i = ctypes.c_int
         lib.extract_patch_pair.argtypes = [
             f32p, i, i, f32p, i, i, i, i, i, i, i, i, i, i, f32p, f32p]
+        vpp = ctypes.POINTER(ctypes.c_void_p)
+        ip = ctypes.POINTER(ctypes.c_int)
+        lib.extract_patch_batch.argtypes = [
+            vpp, ip, vpp, ip, i, i, i, i,
+            ip, ip, ip, ip, ip, f32p, f32p, i]
         lib.bicubic_downscale_u8.argtypes = [u8p, i, i, i, i, i, u8p]
         lib.bicubic_downscale_f32.argtypes = [f32p, i, i, i, i, i, f32p]
         _lib = lib
@@ -90,6 +95,52 @@ def extract_patch_pair(lr: np.ndarray, hr: np.ndarray, patch_size: int,
         _fp(hr), hr.shape[0], hr.shape[1],
         lr.shape[2], scale, lp, int(lr_y), int(lr_x),
         int(rot), int(hflip), int(vflip), _fp(out_lr), _fp(out_hr))
+
+
+def _ip(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def extract_patch_batch(lrs, hrs, patch_size: int, scale: int,
+                        ys: np.ndarray, xs: np.ndarray, rots: np.ndarray,
+                        hflips: np.ndarray, vflips: np.ndarray,
+                        out_lr: np.ndarray, out_hr: np.ndarray,
+                        nthreads: int = 1) -> None:
+    """Whole-batch fused crop+augment: ONE ctypes crossing per batch.
+
+    The per-item wrapper above costs ~80 us of argument marshalling per
+    call, which capped the loader below the device training rate; here
+    the item loop (optionally threaded) lives in C++.
+    """
+    lib = get_lib()
+    assert lib is not None
+    n = len(lrs)
+    assert out_lr.dtype == np.float32 and out_lr.flags.c_contiguous
+    assert out_hr.dtype == np.float32 and out_hr.flags.c_contiguous
+    lp = patch_size // scale
+    lr_ws = np.empty(n, np.int32)
+    hr_ws = np.empty(n, np.int32)
+    lptr = (ctypes.c_void_p * n)()
+    hptr = (ctypes.c_void_p * n)()
+    for j in range(n):
+        a, b = lrs[j], hrs[j]
+        assert a.dtype == np.float32 and a.flags.c_contiguous
+        assert b.dtype == np.float32 and b.flags.c_contiguous
+        lptr[j] = a.ctypes.data
+        hptr[j] = b.ctypes.data
+        lr_ws[j] = a.shape[1]
+        hr_ws[j] = b.shape[1]
+    ys = np.ascontiguousarray(ys, np.int32)
+    xs = np.ascontiguousarray(xs, np.int32)
+    rots = np.ascontiguousarray(rots, np.int32)
+    hflips = np.ascontiguousarray(hflips, np.int32)
+    vflips = np.ascontiguousarray(vflips, np.int32)
+    vpp = ctypes.POINTER(ctypes.c_void_p)
+    lib.extract_patch_batch(
+        ctypes.cast(lptr, vpp), _ip(lr_ws), ctypes.cast(hptr, vpp),
+        _ip(hr_ws), n, lrs[0].shape[2], scale, lp,
+        _ip(ys), _ip(xs), _ip(rots), _ip(hflips), _ip(vflips),
+        _fp(out_lr), _fp(out_hr), int(nthreads))
 
 
 def bicubic_downscale(hr: np.ndarray, scale: int) -> np.ndarray:

@@ -184,64 +184,83 @@ class TrainLoader:
                     thread_name_prefix='srtpu-data')
         list(self._pool.map(fn, range(n)))   # list() propagates exceptions
 
+    def _fetch_items(self, indices):
+        """source.get for every batch slot (threaded when workers > 1):
+        decoded/cached float32 images + names, contiguous."""
+        n = len(indices)
+        lrs, hrs, names = [None] * n, [None] * n, [None] * n
+
+        def fetch(slot):
+            lr, hr, name = self._source.get(int(indices[slot]))
+            if hr is None:
+                raise ValueError(f'No HR image for {name}')
+            lrs[slot] = np.ascontiguousarray(lr, np.float32)
+            hrs[slot] = np.ascontiguousarray(hr, np.float32)
+            names[slot] = name
+
+        self._run_items(fetch, n)
+        return lrs, hrs, names
+
+    def _draw_params(self, rng, lrs):
+        """Vectorized per-batch crop/augment draws from ONE stream —
+        shared by the numpy and native paths so they stay bit-identical,
+        and independent of the worker count by construction."""
+        n = len(lrs)
+        lp = self._patch // self._scale
+        lhs = np.array([a.shape[0] for a in lrs])
+        lws = np.array([a.shape[1] for a in lrs])
+        ys = rng.integers(0, lhs - lp + 1).astype(np.int32)
+        xs = rng.integers(0, lws - lp + 1).astype(np.int32)
+        if self._augment:
+            rots = rng.integers(0, 4, n).astype(np.int32)
+            hfs = rng.integers(0, 2, n).astype(np.int32)
+            vfs = rng.integers(0, 2, n).astype(np.int32)
+        else:
+            rots = hfs = vfs = np.zeros(n, np.int32)
+        return ys, xs, rots, hfs, vfs
+
     def _make_batch(self, indices, rng) -> Batch:
         from . import native
         if native.available():
             return self._make_batch_native(indices, rng)
         n = len(indices)
-        rngs = rng.spawn(n)   # per-item streams: results are identical
-        #                       for ANY worker count (order-independent)
-        lrs, hrs, names = [None] * n, [None] * n, [None] * n
-
-        def work(slot):
-            lr, hr, name = self._source.get(int(indices[slot]))
-            if hr is None:
-                raise ValueError(f'No HR image for {name}')
-            r = rngs[slot]
-            lr_p, hr_p = random_patch(lr, hr, self._patch, self._scale, r)
-            if self._augment:
-                lr_p, hr_p = augment_pair(lr_p, hr_p, r)
-            lrs[slot] = np.ascontiguousarray(lr_p)
-            hrs[slot] = np.ascontiguousarray(hr_p)
-            names[slot] = name
-
-        self._run_items(work, n)
-        return Batch(lr=np.stack(lrs), hr=np.stack(hrs), names=tuple(names))
+        lp = self._patch // self._scale
+        s = self._scale
+        lrs, hrs, names = self._fetch_items(indices)
+        ys, xs, rots, hfs, vfs = self._draw_params(rng, lrs)
+        out_lr = np.empty((n, lp, lp, 3), np.float32)
+        out_hr = np.empty((n, self._patch, self._patch, 3), np.float32)
+        for j in range(n):
+            y, x = int(ys[j]), int(xs[j])
+            lr_p = lrs[j][y:y + lp, x:x + lp]
+            hr_p = hrs[j][y * s:(y + lp) * s, x * s:(x + lp) * s]
+            if rots[j]:
+                lr_p = np.rot90(lr_p, rots[j])
+                hr_p = np.rot90(hr_p, rots[j])
+            if hfs[j]:
+                lr_p, hr_p = lr_p[:, ::-1], hr_p[:, ::-1]
+            if vfs[j]:
+                lr_p, hr_p = lr_p[::-1], hr_p[::-1]
+            out_lr[j] = lr_p
+            out_hr[j] = hr_p
+        return Batch(lr=out_lr, hr=out_hr, names=tuple(names))
 
     def _make_batch_native(self, indices, rng) -> Batch:
-        """Native fast path: fused crop+augment+batch placement in C++
-        (native/patchops.cc), drawing the SAME per-item random stream as
-        the numpy path so both are interchangeable."""
+        """Native fast path: the whole batch's fused crop+augment+batch
+        placement in ONE C++ call (native/patchops.cc) — per-item ctypes
+        dispatch (~80 us/call) capped the loader at ~6k patches/s, below
+        the device training rate. Draws the SAME random stream as the
+        numpy path so both are interchangeable."""
         from . import native
         n = len(indices)
         lp = self._patch // self._scale
         out_lr = np.empty((n, lp, lp, 3), np.float32)
         out_hr = np.empty((n, self._patch, self._patch, 3), np.float32)
-        rngs = rng.spawn(n)
-        names = [None] * n
-
-        def work(slot):
-            lr, hr, name = self._source.get(int(indices[slot]))
-            if hr is None:
-                raise ValueError(f'No HR image for {name}')
-            r = rngs[slot]
-            lh, lw = lr.shape[:2]
-            y = int(r.integers(0, lh - lp + 1))
-            x = int(r.integers(0, lw - lp + 1))
-            if self._augment:
-                rot = int(r.integers(0, 4))
-                hflip = bool(r.integers(0, 2))
-                vflip = bool(r.integers(0, 2))
-            else:
-                rot = hflip = vflip = 0
-            native.extract_patch_pair(
-                np.ascontiguousarray(lr, np.float32),
-                np.ascontiguousarray(hr, np.float32),
-                self._patch, self._scale, y, x, rot, hflip, vflip,
-                out_lr[slot], out_hr[slot])
-            names[slot] = name
-
-        self._run_items(work, n)
+        lrs, hrs, names = self._fetch_items(indices)
+        ys, xs, rots, hfs, vfs = self._draw_params(rng, lrs)
+        native.extract_patch_batch(
+            lrs, hrs, self._patch, self._scale, ys, xs, rots, hfs, vfs,
+            out_lr, out_hr, nthreads=self._workers)
         return Batch(lr=out_lr, hr=out_hr, names=tuple(names))
 
     def __iter__(self):

@@ -90,6 +90,36 @@ def test_native_loader_batch_matches_python_loader(tmp_path):
     assert native_b.names == py_b.names
 
 
+def test_native_batch_threaded_matches_serial():
+    """extract_patch_batch with nthreads > 1 is bit-identical to serial
+    (items are striped across std::threads; no shared mutable state)."""
+    rng = np.random.default_rng(3)
+    n, scale, patch = 7, 2, 16
+    lp = patch // scale
+    lrs = [np.ascontiguousarray(rng.random((20 + i, 22, 3)), np.float32)
+           for i in range(n)]
+    hrs = [np.ascontiguousarray(rng.random(
+        (2 * (20 + i), 44, 3)), np.float32) for i in range(n)]
+    ys = rng.integers(0, 5, n).astype(np.int32)
+    xs = rng.integers(0, 5, n).astype(np.int32)
+    rots = rng.integers(0, 4, n).astype(np.int32)
+    hfs = rng.integers(0, 2, n).astype(np.int32)
+    vfs = rng.integers(0, 2, n).astype(np.int32)
+
+    def run(nthreads):
+        out_lr = np.empty((n, lp, lp, 3), np.float32)
+        out_hr = np.empty((n, patch, patch, 3), np.float32)
+        native.extract_patch_batch(lrs, hrs, patch, scale, ys, xs, rots,
+                                   hfs, vfs, out_lr, out_hr,
+                                   nthreads=nthreads)
+        return out_lr, out_hr
+
+    lr1, hr1 = run(1)
+    lr4, hr4 = run(4)
+    np.testing.assert_array_equal(lr1, lr4)
+    np.testing.assert_array_equal(hr1, hr4)
+
+
 def test_native_bicubic_matches_pil():
     from PIL import Image
     rng = np.random.default_rng(2)
