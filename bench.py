@@ -36,7 +36,9 @@ PATCH = 128
 SCALE = 4
 SMALL_WINDOW = 10
 BIG_WINDOW = 60
-REPEATS = 2
+REPEATS = 4   # min-of-4 windows: the relay adds ~±2% run-to-run jitter
+#               (7.26-7.52k observed on identical EDSR code, PERF.md);
+#               extra windows cost < 1 s/config and tighten the floor
 
 # use_pallas='cs': transposed channel-sublane kernels — the round-2
 # layout win (66% vs 36% conv MFU at C=64; PERF.md)

@@ -357,7 +357,12 @@ class CSTrunk(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 emit_cs: bool = False):
+        """emit_cs=True returns ``(y, k)`` where y is still CS-packed
+        (k = lane packing) when the CS path ran, or ``(y_nhwc, None)`` on
+        the XLA fallback — CSUpscaleTail consumes the packed form
+        directly, skipping the CS->NHWC->CS round trip at the seam."""
         from srtpu.ops.cs_conv import (conv3x3_cs, conv3x3_reference,
                                        cs_plan, cs_to_nhwc, nhwc_to_cs,
                                        trunk_cs_mega)
@@ -394,7 +399,7 @@ class CSTrunk(nn.Module):
                     w2h[i].astype(dtype), b2[i].astype(jnp.float32),
                     res_scale=self.res_scale)
             res = conv3x3_reference(res, wc.astype(dtype), bc)
-            return res + xd
+            return (res + xd, None) if emit_cs else res + xd
 
         k, _ = plan
         w_img = x.shape[2]
@@ -415,6 +420,8 @@ class CSTrunk(nn.Module):
             from srtpu.ops.cs_conv import trunk_cs
             res = trunk_cs(xc, w1, b1, w2, b2, self.res_scale, w_img, k)
         res = conv3x3_cs(res, wc, bc, w_img, k) + xc
+        if emit_cs:
+            return res, k
         return cs_to_nhwc(res, k, x.shape[1], w_img)
 
 
@@ -449,11 +456,15 @@ class CSUpscaleTail(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, cs=None) -> jax.Array:
+        """x: NHWC features — or, with ``cs=(k, h, w)``, the CS-packed
+        (G, C, S) trunk output (CSTrunk/CSBNTrunk ``emit_cs``): the seam
+        then skips a CS->NHWC->CS round trip."""
         from srtpu.ops.cs_conv import (conv3x3_cs, conv3x3_cs_pre, cs_plan,
-                                       cs_regroup, nhwc_to_cs, pm_to_nhwc,
-                                       upsample_cs, w_hwio_from_cs,
-                                       w_phase_dense, w_pm_cs)
+                                       cs_regroup, cs_to_nhwc, nhwc_to_cs,
+                                       pm_to_nhwc, upsample_cs,
+                                       w_hwio_from_cs, w_phase_dense,
+                                       w_pm_cs)
         n, fk = self.n_feats, self.final_ksize
         assert self.scale_factor in (2, 3, 4, 8)
         rs = [3] if self.scale_factor == 3 else \
@@ -477,8 +488,11 @@ class CSUpscaleTail(nn.Module):
                         (self.channels,))
 
         dtype = self.dtype or x.dtype
-        xd = x.astype(dtype)
-        b, h, w, _ = x.shape
+        if cs is not None:
+            k_in, h, w = cs
+            b = x.shape[0] * k_in
+        else:
+            b, h, w, _ = x.shape
 
         def _act(y, i):
             if self.act is None:
@@ -488,7 +502,7 @@ class CSUpscaleTail(nn.Module):
 
         # lane-bound gate as in CSTrunk: beyond ~96 channels XLA's convs
         # fill the MXU and the wide pm stage (r^2*C) stops fitting VMEM
-        plan = cs_plan(x.shape) if n <= 96 else None
+        plan = cs_plan((b, h, w, n)) if n <= 96 else None
         # every stage input must fit the kernels (S <= 4096; final conv
         # reads S_f <= 16384)
         ok = plan is not None
@@ -510,10 +524,12 @@ class CSUpscaleTail(nn.Module):
             # 64-divisible for the kernels' chunked paths
             pm_c = rs[-1] ** 2 * n
             ok = ok and hh * ww * k <= 4096 \
-                and (pm_c <= 128 or pm_c % 64 == 0)
+                and (pm_c <= 128 or pm_c % 64 == 0) \
+                and (cs is None or plan[0] == cs[0])
 
         if not ok:
-            y = xd
+            y = (x if cs is None else cs_to_nhwc(x, cs[0], h, w)) \
+                .astype(dtype)
             for i, r in enumerate(rs):
                 y = _act(_xla_upstage(y, ws[i], bs[i], n, r, dtype), i)
             wfh = w_hwio_from_cs(wf[None], n, self.channels, fk)[0]
@@ -522,7 +538,8 @@ class CSUpscaleTail(nn.Module):
 
         k = plan[0]
         hh, ww = h, w
-        y = nhwc_to_cs(xd, k)
+        y = x.astype(dtype) if cs is not None \
+            else nhwc_to_cs(x.astype(dtype), k)
         for i, r in enumerate(rs[:-1]):
             # NOTE regrouping BEFORE the stage (r^2 x less copy traffic)
             # was tried and fails to lower: at k=1 the interleave's
@@ -677,7 +694,12 @@ class CSBNTrunk(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 emit_cs: bool = False):
+        """emit_cs=True returns ``(y, k)`` with y CS-packed when the CS
+        path ran (k = lane packing) or ``(y_nhwc, None)`` on the XLA
+        fallback — see CSTrunk: the tail consumes the packed form and the
+        seam's CS->NHWC->CS round trip disappears."""
         from srtpu.ops.bn_resblock_cs import (bn_close_cs, bn_close_ref,
                                               bn_resblock_cs,
                                               bn_resblock_ref)
@@ -750,7 +772,8 @@ class CSBNTrunk(nn.Module):
                 m1.append(st[0]); v1.append(st[1])
                 m2.append(st[2]); v2.append(st[3])
             out_cs, stc = bn_close_cs(u, xc, wc, bc, gac, bec, w_img, k)
-            out = cs_to_nhwc(out_cs, k, x.shape[1], w_img)
+            out = out_cs if emit_cs else \
+                cs_to_nhwc(out_cs, k, x.shape[1], w_img)
 
         if train and not self.is_initializing():
             mom = 0.9
@@ -761,4 +784,6 @@ class CSBNTrunk(nn.Module):
             rv2.value = upd(rv2.value, jnp.stack(v2))
             rmc.value = upd(rmc.value, stc[0][None])
             rvc.value = upd(rvc.value, stc[1][None])
+        if emit_cs:
+            return out, (None if plan is None else plan[0])
         return out

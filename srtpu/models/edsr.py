@@ -35,11 +35,16 @@ class EDSR(nn.Module):
         x = Conv2d(self.n_feats, 3, dtype=self.dtype)(x)
 
         if self.use_pallas == 'cs':
-            x = CSTrunk(n_feats=self.n_feats,
-                        n_resblocks=self.n_resblocks,
-                        res_scale=self.res_scale, dtype=self.dtype)(x)
+            h, w = x.shape[1], x.shape[2]
+            x, k = CSTrunk(n_feats=self.n_feats,
+                           n_resblocks=self.n_resblocks,
+                           res_scale=self.res_scale, dtype=self.dtype)(
+                               x, emit_cs=True)
+            # the trunk hands its CS-packed output straight to the tail —
+            # no CS->NHWC->CS round trip at the seam
             x = CSUpscaleTail(self.scale_factor, self.n_feats,
-                              self.channels, dtype=self.dtype)(x)
+                              self.channels, dtype=self.dtype)(
+                                  x, cs=None if k is None else (k, h, w))
             if self.channels == 3:
                 x = mean_shift(x, sign=1)
             return x

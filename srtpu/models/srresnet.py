@@ -36,12 +36,15 @@ class SRResNet(nn.Module):
                        dtype=self.dtype)(x, train)
 
         if self.use_pallas == 'cs':
-            x = CSBNTrunk(n_feats=self.n_feats,
-                          n_resblocks=self.n_resblocks,
-                          dtype=self.dtype)(x, train)
+            h, w = x.shape[1], x.shape[2]
+            x, k = CSBNTrunk(n_feats=self.n_feats,
+                             n_resblocks=self.n_resblocks,
+                             dtype=self.dtype)(x, train, emit_cs=True)
+            # CS-packed seam: see srtpu/models/edsr.py
             return CSUpscaleTail(self.scale_factor, self.n_feats,
                                  self.channels, act=PReLU, final_ksize=9,
-                                 dtype=self.dtype)(x)
+                                 dtype=self.dtype)(
+                                     x, cs=None if k is None else (k, h, w))
         else:
             res = x
             for _ in range(self.n_resblocks):
