@@ -251,3 +251,125 @@ def test_fit_warns_loudly_without_pretrained_weights(tmp_path, caplog):
         Trainer(cfg).fit(model, dm, losses='0.9 * l1 + 0.1 * lpips')
     assert any('WITHOUT converted pretrained weights' in r.message
                for r in caplog.records)
+
+
+def test_pieapp_converter_roundtrip(tmp_path, monkeypatch):
+    """A PieAPPv0.1-layout state dict converts and loads: the loss then
+    consumes the exact tensors (conv kernels transposed to HWIO, Linear
+    weights transposed to (in, out))."""
+    import sys
+    sys.path.insert(0, 'tools')
+    import convert_torch_weights as cw
+    from srtpu.losses import pieapp as pa
+
+    torch.manual_seed(1)
+    state, in_c = {}, 3
+    for i, (out_c, _) in enumerate(pa._CONV_PLAN):
+        state[f'conv{i + 1}.weight'] = torch.randn(out_c, in_c, 3, 3) * .05
+        state[f'conv{i + 1}.bias'] = torch.randn(out_c) * .05
+        in_c = out_c
+    for name, in_dim in (('fc_score', pa._feature_length()),
+                         ('fc_weight', 512 * 2 * 2)):
+        for j, (a, b) in enumerate([(in_dim, 512), (512, 1)]):
+            state[f'{name}{j + 1}.weight'] = torch.randn(b, a) * .01
+            state[f'{name}{j + 1}.bias'] = torch.randn(b) * .01
+    pth = tmp_path / 'PieAPPv0.1_fixture.pth'
+    torch.save(state, pth)
+
+    monkeypatch.setenv('SRTPU_WEIGHTS_DIR', str(tmp_path))
+    assert cw.main(['pieapp', str(pth)]) == 0
+    params, loaded = pa._init_params(return_loaded=True)
+    assert loaded
+    np.testing.assert_allclose(
+        np.asarray(params['convs'][0][0]),
+        np.transpose(state['conv1.weight'].numpy(), (2, 3, 1, 0)),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params['fc_score'][0][0]),
+        state['fc_score1.weight'].numpy().T, rtol=1e-6)
+
+
+def test_brisque_converter_svr(tmp_path, monkeypatch):
+    """libsvm allmodel/allrange (LIVE BRISQUE release format) parse into
+    the RBF-SVR npz; the metric scores with it, matching a numpy
+    recomputation of sum_i alpha_i exp(-gamma ||sv_i - f||^2) - rho."""
+    import sys
+    sys.path.insert(0, 'tools')
+    import convert_torch_weights as cw
+
+    rng = np.random.default_rng(0)
+    n_sv, n_feat = 4, 36
+    svs = rng.normal(size=(n_sv, n_feat))
+    alphas = rng.normal(size=n_sv)
+    gamma, rho = 0.05, -0.3
+    lines = ['svm_type epsilon_svr', 'kernel_type rbf', f'gamma {gamma}',
+             'nr_class 2', f'total_sv {n_sv}', f'rho {rho}', 'SV']
+    for a, v in zip(alphas, svs):
+        lines.append(' '.join(
+            [f'{a}'] + [f'{i + 1}:{x}' for i, x in enumerate(v)]))
+    (tmp_path / 'allmodel').write_text('\n'.join(lines))
+    lo = -np.abs(rng.normal(size=n_feat)) - 1.0
+    hi = np.abs(rng.normal(size=n_feat)) + 1.0
+    rows = [f'{i + 1} {a} {b}' for i, (a, b) in enumerate(zip(lo, hi))]
+    (tmp_path / 'allrange').write_text('-1 1\n' + '\n'.join(rows))
+
+    monkeypatch.setenv('SRTPU_WEIGHTS_DIR', str(tmp_path))
+    assert cw.main(['brisque', str(tmp_path / 'allmodel'),
+                    str(tmp_path / 'allrange')]) == 0
+    d = np.load(tmp_path / 'brisque_svm.npz')
+    assert d['sv'].shape == (n_sv, n_feat)
+    assert float(d['gamma']) == pytest.approx(gamma)
+
+    from srtpu.metrics.brisque import brisque, brisque_features
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    score = float(brisque(x))
+    feats = np.asarray(brisque_features(x))
+    f = -1.0 + 2.0 * (feats - d['scale_min']) / (d['scale_max']
+                                                 - d['scale_min'])
+    dist = ((d['sv'][None] - f[:, None]) ** 2).sum(-1)
+    want = (d['alpha'][None] * np.exp(-float(d['gamma']) * dist)).sum(-1) \
+        - float(d['rho'])
+    np.testing.assert_allclose(score, want.mean(), rtol=1e-3, atol=1e-4)
+
+
+def test_convert_all_from_directory(tmp_path, monkeypatch, capsys):
+    """`convert_torch_weights.py all <dir>` produces every artifact it can
+    recognize in one command (the connected-host story; VGGs report their
+    torchvision dependency instead of failing the run)."""
+    import sys
+    sys.path.insert(0, 'tools')
+    import convert_torch_weights as cw
+    from srtpu.losses import pieapp as pa
+
+    torch.manual_seed(2)
+    dl = tmp_path / 'downloads'
+    dl.mkdir()
+    dims = (64, 128, 256, 512, 512)
+    torch.save({f'lin{i}.weight': torch.rand(1, d, 1, 1)
+                for i, d in enumerate(dims)}, dl / 'lpips_weights.pt')
+    torch.save({'alpha': torch.rand(1, 3 + sum(dims), 1, 1),
+                'beta': torch.rand(1, 3 + sum(dims), 1, 1)},
+               dl / 'dists_weights.pt')
+    state, in_c = {}, 3
+    for i, (out_c, _) in enumerate(pa._CONV_PLAN):
+        state[f'conv{i + 1}.weight'] = torch.randn(out_c, in_c, 3, 3) * .05
+        state[f'conv{i + 1}.bias'] = torch.randn(out_c) * .05
+        in_c = out_c
+    for name, in_dim in (('fc_score', pa._feature_length()),
+                         ('fc_weight', 512 * 2 * 2)):
+        for j, (a, b) in enumerate([(in_dim, 512), (512, 1)]):
+            state[f'{name}{j + 1}.weight'] = torch.randn(b, a) * .01
+            state[f'{name}{j + 1}.bias'] = torch.randn(b) * .01
+    torch.save(state, dl / 'PieAPPv0.1.pth')
+    (dl / 'allmodel').write_text(
+        'gamma 0.1\nrho 0.5\nSV\n1.0 ' +
+        ' '.join(f'{i + 1}:0.0' for i in range(36)))
+    (dl / 'allrange').write_text(
+        '\n'.join(f'{i + 1} 0 1' for i in range(36)))
+
+    wdir = tmp_path / 'weights'
+    monkeypatch.setenv('SRTPU_WEIGHTS_DIR', str(wdir))
+    assert cw.main(['all', str(dl)]) == 0
+    for out in ('lpips_lin.npz', 'dists_ab.npz', 'pieapp.npz',
+                'brisque_svm.npz'):
+        assert (wdir / out).exists(), out
