@@ -69,16 +69,18 @@ def build(model_name: str, kwargs: dict):
 
     kwargs = dict(kwargs)
     dtype = kwargs.pop('dtype', 'bf16')
-    model = create_model(model_name, scale_factor=SCALE,
+    scale = kwargs.pop('scale_factor', SCALE)
+    model = create_model(model_name, scale_factor=scale,
                          dtype=jnp.bfloat16 if dtype == 'bf16' else None,
                          **kwargs)
     composite = parse_losses('l1')
     tx = build_optimizer('ADAM', ['lr=1e-4'])
 
     rng = np.random.default_rng(0)
-    lr_img = jnp.asarray(rng.random(
-        (BATCH, PATCH // SCALE, PATCH // SCALE, 3), np.float32))
-    hr_img = jnp.asarray(rng.random((BATCH, PATCH, PATCH, 3), np.float32))
+    lp = PATCH // scale            # scale 3: lp*scale = 126, not PATCH
+    lr_img = jnp.asarray(rng.random((BATCH, lp, lp, 3), np.float32))
+    hr_img = jnp.asarray(rng.random(
+        (BATCH, lp * scale, lp * scale, 3), np.float32))
 
     state = create_train_state(model, tx, jax.random.PRNGKey(0), lr_img,
                                composite)

@@ -75,6 +75,17 @@ def cs_plan_s(shape, s_target, s_max):
         k -= 1
     if b % k or h * w * k > s_max:
         return None
+    if h * w * k % 128:
+        # the lane dim must be tile-aligned: at unaligned S Mosaic pads
+        # each roll/mask piece to a different lane offset and rejects the
+        # kernels' concats ("offset mismatch on non-concat dimension") —
+        # found on real TPU at scale 3 (42x42 LR -> S=3528); interpret
+        # mode does not model layouts and can't catch it. Try larger
+        # aligned packings first, else fall back to XLA.
+        for cand in range(min(b, s_max // (h * w)), 0, -1):
+            if b % cand == 0 and h * w * cand % 128 == 0:
+                return cand, b // cand
+        return None
     return k, b // k
 
 

@@ -92,16 +92,27 @@ def test_resblock_grads_match_xla(data):
 
 
 def test_packed_lane_rows(data):
-    """k>1 (several images per lane-row) keeps seam masks correct."""
+    """k>1 (several images per lane-row) keeps seam masks correct.
+    (8, 8, 4, 16) -> k=8, S=256: lane-tile aligned — cs_plan now refuses
+    unaligned S outright (Mosaic rejects those kernels on real TPUs)."""
     _, w1, b1, w2, b2 = data
     rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.standard_normal((8, 6, 4, 16)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((8, 8, 4, 16)), jnp.float32)
     k, _ = cs_plan(x.shape)
     assert k > 1
     got = cs_to_nhwc(resblock_cs(nhwc_to_cs(x, k), w1, b1, w2, b2,
-                                 1.0, 4, k), k, 6, 4)
+                                 1.0, 4, k), k, 8, 4)
     np.testing.assert_allclose(got, _rb_ref(x, w1, b1, w2, b2, 1.0),
                                atol=1e-4)
+
+
+def test_cs_plan_refuses_unaligned_lanes():
+    """S = H*W*k must be a 128-multiple: Mosaic pads roll/mask pieces to
+    mismatched lane offsets otherwise and rejects the kernel at compile
+    (seen on real TPU at scale 3: 42x42 LR -> S=3528). cs_plan must
+    return None so models fall back to XLA convs."""
+    assert cs_plan((16, 42, 42, 64)) is None
+    assert cs_plan((16, 32, 32, 64)) == (4, 4)
 
 
 def test_trunk_cs_matches_blockwise(data):
