@@ -364,8 +364,8 @@ class CSTrunk(nn.Module):
         the XLA fallback — CSUpscaleTail consumes the packed form
         directly, skipping the CS->NHWC->CS round trip at the seam."""
         from srtpu.ops.cs_conv import (conv3x3_cs, conv3x3_reference,
-                                       cs_plan, cs_to_nhwc, nhwc_to_cs,
-                                       trunk_cs_mega)
+                                       cs_plan, cs_plan_pad, cs_to_nhwc,
+                                       nhwc_to_cs, trunk_cs_mega)
         from srtpu.ops.resblock import resblock_reference
         n, nb = self.n_feats, self.n_resblocks
         bound = 1.0 / math.sqrt(9 * n)
@@ -388,6 +388,16 @@ class CSTrunk(nn.Module):
         # 78% MFU on plain XLA — PERF.md); cs_plan itself has no upper
         # channel bound, so gate here
         plan = cs_plan(x.shape) if n <= 96 else None
+        s_pad = s_valid = None
+        if plan is None and n <= 96:
+            # lane-unaligned S (e.g. scale-3 42x42 LR): pack with a
+            # zero-padded dead-lane tail instead of falling back to XLA —
+            # ~5% dead compute vs the full CS win (cs_plan_pad)
+            pp = cs_plan_pad(x.shape)
+            if pp is not None:
+                kp, gp, s_pad = pp
+                plan = (kp, gp)
+                s_valid = x.shape[1] * x.shape[2] * kp
         if plan is None:
             from srtpu.ops.cs_conv import w_hwio_from_cs
             w1h = w_hwio_from_cs(w1, n, n)
@@ -403,7 +413,7 @@ class CSTrunk(nn.Module):
 
         k, _ = plan
         w_img = x.shape[2]
-        xc = nhwc_to_cs(xd, k)
+        xc = nhwc_to_cs(xd, k, s_pad)
         # one pallas_call per direction for the whole chain (the running
         # activation stays VMEM-resident across all blocks; PERF.md r3).
         # The mega backward keeps BOTH (L, 3C, 3C) f32 dW accumulators
@@ -415,11 +425,12 @@ class CSTrunk(nn.Module):
         mega_acc_bytes = 2 * nb * (3 * n) ** 2 * 4
         if mega_acc_bytes <= _MEGA_ACC_BUDGET:
             res = trunk_cs_mega(xc, w1, b1, w2, b2, self.res_scale,
-                                w_img, k)
+                                w_img, k, s_valid)
         else:
             from srtpu.ops.cs_conv import trunk_cs
-            res = trunk_cs(xc, w1, b1, w2, b2, self.res_scale, w_img, k)
-        res = conv3x3_cs(res, wc, bc, w_img, k) + xc
+            res = trunk_cs(xc, w1, b1, w2, b2, self.res_scale, w_img, k,
+                           s_valid)
+        res = conv3x3_cs(res, wc, bc, w_img, k, s_valid) + xc
         if emit_cs:
             return res, k
         return cs_to_nhwc(res, k, x.shape[1], w_img)

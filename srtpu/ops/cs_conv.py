@@ -89,17 +89,59 @@ def cs_plan_s(shape, s_target, s_max):
     return k, b // k
 
 
-def nhwc_to_cs(x: jax.Array, k: int) -> jax.Array:
-    """(B, H, W, C) -> (G, C, H*W*k) with k images per lane-row."""
+def cs_plan_pad(shape: tuple[int, ...]) -> tuple[int, int, int] | None:
+    """(k, G, s_pad) packing with DEAD-LANE padding for shapes whose
+    S = H*W*k is never a 128 multiple (e.g. scale-3 42x42 LR: H*W has
+    only two factors of 2, so no k <= S_MAX/HW aligns).
+
+    The lane axis is zero-padded from S to s_pad, the next 128 multiple
+    at least one image row (W*k lanes) past S. One dead row guarantees
+    the dy = +1 reads of the last valid row land on zeros (== SAME
+    padding) instead of wrapping to row 0; kernels re-zero the pad tail
+    on every output write (``s_valid`` kwarg) so garbage never enters
+    valid lanes across chained kernels. 42x42 k=2: 3528 -> 3712 lanes,
+    5.2% dead compute — vs a full XLA fallback. Returns None when
+    cs_plan already gives an aligned (pad-free) plan, or nothing fits.
+    """
+    if cs_plan(shape) is not None:
+        return None
+    import os
+    if jax.default_backend() != 'tpu' \
+            and os.environ.get('SRTPU_CS_OFF_TPU') != '1':
+        return None
+    b, h, w, c = shape
+    if c % 16 or h < 2 or w < 2:
+        return None
+    k = max(1, S_TARGET // (h * w))
+    k = min(k, b)
+    while k > 1 and b % k:
+        k -= 1
+    if b % k:
+        return None
+    s_real = h * w * k
+    s_pad = -(-(s_real + w * k) // 128) * 128   # >= one dead row, aligned
+    if s_pad > S_MAX:
+        return None
+    return k, b // k, s_pad
+
+
+def nhwc_to_cs(x: jax.Array, k: int, s_pad: int | None = None) -> jax.Array:
+    """(B, H, W, C) -> (G, C, H*W*k) with k images per lane-row.
+    s_pad zero-pads the lane axis (dead lanes; see cs_plan_pad)."""
     b, h, w, c = x.shape
     g = b // k
-    return x.reshape(g, k, h, w, c).transpose(0, 4, 2, 1, 3) \
+    out = x.reshape(g, k, h, w, c).transpose(0, 4, 2, 1, 3) \
         .reshape(g, c, h * k * w)
+    if s_pad is not None and s_pad > h * k * w:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, s_pad - h * k * w)))
+    return out
 
 
 def cs_to_nhwc(x_cs: jax.Array, k: int, h: int, w: int) -> jax.Array:
-    """(G, C, H*W*k) -> (B, H, W, C)."""
-    g, c, _ = x_cs.shape
+    """(G, C, H*W*k [+pad]) -> (B, H, W, C); dead-lane tails are dropped."""
+    g, c, s = x_cs.shape
+    if s > h * k * w:
+        x_cs = x_cs[:, :, :h * k * w]
     return x_cs.reshape(g, c, h, k, w).transpose(0, 3, 2, 4, 1) \
         .reshape(g * k, h, w, c)
 
@@ -139,6 +181,24 @@ def _row_masks(s: int, wk: int):
     """Masks for dy = +1 / -1 rolls (first/last image row)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     return lane < s - wk, lane >= wk           # m_yp (reads y+1), m_ym
+
+
+def _zpad(v, s_valid):
+    """Zero the dead-lane pad tail (no-op when s_valid is None/full).
+
+    Every kernel output write goes through this when the lane axis is
+    padded (cs_plan_pad): the invariant "pad lanes of every CS array are
+    zero" makes all boundary reads exact SAME-padding semantics (the
+    _build_x3 seam masks already zero dx reads at the pad boundary, and
+    dy reads of the last valid row land on the zeroed dead row), and
+    kills every cross term in the dW/db lane contractions (one factor —
+    activation or cotangent — is always zero on pad lanes).
+    """
+    s = v.shape[-1]
+    if s_valid is None or s_valid >= s:
+        return v
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    return jnp.where(lane < s_valid, v, 0)
 
 
 def _roll32(x, shift, s):
@@ -225,7 +285,8 @@ def _gs_roll(gf, dy, s, wk, kk=3):
 
 
 def _conv_fwd_kernel(x_ref, w_ref, b_ref, out_ref, x3_ref, *, w_img, wk,
-                     stk=False, relu=False, co_chunk=0, kk=3):
+                     stk=False, relu=False, co_chunk=0, kk=3,
+                     s_valid=None):
     x = x_ref[0]
     c, s = x.shape
     _build_x3(x, x3_ref, s, w_img, kk)
@@ -246,17 +307,18 @@ def _conv_fwd_kernel(x_ref, w_ref, b_ref, out_ref, x3_ref, *, w_img, wk,
             if relu:
                 outj = jnp.maximum(outj, 0.0)
             out_ref[0, j * co_chunk:(j + 1) * co_chunk] = \
-                outj.astype(out_ref.dtype)
+                _zpad(outj, s_valid).astype(out_ref.dtype)
         return
     p = jnp.dot(w, x3_ref[...], preferred_element_type=jnp.float32)
     out = _dy_reduce(p, s, wk, kk) + b
     if relu:
         out = jnp.maximum(out, 0.0)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = _zpad(out, s_valid).astype(out_ref.dtype)
 
 
 def _conv_bwd_kernel(x_ref, g_ref, wt_ref, dx_ref, dwt_ref, db_ref,
-                     x3_ref, g3_ref, *, w_img, wk, stk=False, kk=3):
+                     x3_ref, g3_ref, *, w_img, wk, stk=False, kk=3,
+                     s_valid=None):
     gid = pl.program_id(0)
     x = x_ref[0]
     g = g_ref[0]
@@ -270,7 +332,8 @@ def _conv_bwd_kernel(x_ref, g_ref, wt_ref, dx_ref, dwt_ref, db_ref,
     g3 = g3_ref[...]
     if c <= 128:
         p = jnp.dot(wt, g3, preferred_element_type=jnp.float32)
-        dx_ref[0] = _dy_reduce(p, s, wk, kk).astype(dx_ref.dtype)
+        dx_ref[0] = _zpad(_dy_reduce(p, s, wk, kk),
+                          s_valid).astype(dx_ref.dtype)
     else:
         assert c % 64 == 0
         for j in range(c // 64):
@@ -279,7 +342,7 @@ def _conv_bwd_kernel(x_ref, g_ref, wt_ref, dx_ref, dwt_ref, db_ref,
                  for dy in range(kk)], axis=0)
             p = jnp.dot(wt_j, g3, preferred_element_type=jnp.float32)
             dx_ref[0, j * 64:(j + 1) * 64] = \
-                _dy_reduce(p, s, wk, kk).astype(dx_ref.dtype)
+                _zpad(_dy_reduce(p, s, wk, kk), s_valid).astype(dx_ref.dtype)
 
     # dW[dy, c_out, (dx, c_in)] = roll(g, dy) @ X3^T   (K = S, full lanes)
     gf = g.astype(jnp.float32)
@@ -339,7 +402,8 @@ def _interpret(flag):
     return jax.default_backend() != 'tpu' if flag is None else flag
 
 
-def conv3x3_cs_fwd(x_cs, w2, b, w_img, k, interpret=None, kk=3):
+def conv3x3_cs_fwd(x_cs, w2, b, w_img, k, interpret=None, kk=3,
+                   s_valid=None):
     """x_cs (G, C, S) bf16/f32; w2 (kk*C', kk*C) CS-arranged; b (C', 1)."""
     g, c, s = x_cs.shape
     c_out = w2.shape[0] // kk
@@ -359,7 +423,7 @@ def conv3x3_cs_fwd(x_cs, w2, b, w_img, k, interpret=None, kk=3):
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_conv_fwd_kernel, w_img=w_img, wk=w_img * k,
-                co_chunk=co_chunk, kk=kk),
+                co_chunk=co_chunk, kk=kk, s_valid=s_valid),
         grid=(g,),
         compiler_params=cp,
         in_specs=[blk, full, full],
@@ -373,7 +437,8 @@ def conv3x3_cs_fwd(x_cs, w2, b, w_img, k, interpret=None, kk=3):
     )(x_cs, w2, b)
 
 
-def conv3x3_cs_bwd(x_cs, g_cs, wt, w_img, k, interpret=None, kk=3):
+def conv3x3_cs_bwd(x_cs, g_cs, wt, w_img, k, interpret=None, kk=3,
+                   s_valid=None):
     """Backward of the CS conv; supports c_out != c_in (rectangular).
     g_cs (G, C_out, S); wt (kk*C_in, kk*C_out) transposed-kernel CS."""
     g, c, s = x_cs.shape
@@ -393,7 +458,8 @@ def conv3x3_cs_bwd(x_cs, g_cs, wt, w_img, k, interpret=None, kk=3):
     if kk * max(c, c_out) * s * 2 > 4 * 1024 * 1024:
         cp = pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024)
     return pl.pallas_call(
-        partial(_conv_bwd_kernel, w_img=w_img, wk=w_img * k, kk=kk),
+        partial(_conv_bwd_kernel, w_img=w_img, wk=w_img * k, kk=kk,
+                s_valid=s_valid),
         grid=(g,),
         compiler_params=cp,
         in_specs=[blk, gblk, full],
@@ -411,48 +477,51 @@ def conv3x3_cs_bwd(x_cs, g_cs, wt, w_img, k, interpret=None, kk=3):
     )(x_cs, g_cs, wt)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def conv3x3_cs(x_cs, w, b, w_img, k):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv3x3_cs(x_cs, w, b, w_img, k, s_valid=None):
     """Differentiable CS-layout kxk SAME conv (k odd, inferred from w).
-    w: HWIO (kk,kk,C,C'); b: (C',)."""
+    w: HWIO (kk,kk,C,C'); b: (C',). s_valid marks the dead-lane pad
+    boundary for padded packings (cs_plan_pad)."""
     out = conv3x3_cs_fwd(x_cs, w_cs(w).astype(x_cs.dtype),
                          b.astype(jnp.float32)[:, None], w_img, k,
-                         kk=w.shape[0])
+                         kk=w.shape[0], s_valid=s_valid)
     return out
 
 
-def _conv_cs_vjp_fwd(x_cs, w, b, w_img, k):
-    return conv3x3_cs(x_cs, w, b, w_img, k), (x_cs, w)
+def _conv_cs_vjp_fwd(x_cs, w, b, w_img, k, s_valid=None):
+    return conv3x3_cs(x_cs, w, b, w_img, k, s_valid), (x_cs, w)
 
 
-def _conv_cs_vjp_bwd(w_img, k, res, g):
+def _conv_cs_vjp_bwd(w_img, k, s_valid, res, g):
     x_cs, w = res
     wt = w_cs_T(w).astype(x_cs.dtype)
-    dx, dwt, db = conv3x3_cs_bwd(x_cs, g, wt, w_img, k, kk=w.shape[0])
+    dx, dwt, db = conv3x3_cs_bwd(x_cs, g, wt, w_img, k, kk=w.shape[0],
+                                 s_valid=s_valid)
     return dx, dw_from_cs(dwt).astype(w.dtype), db[:, 0]
 
 
 conv3x3_cs.defvjp(_conv_cs_vjp_fwd, _conv_cs_vjp_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def conv3x3_cs_pre(x_cs, w_csd, b, w_img, k):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv3x3_cs_pre(x_cs, w_csd, b, w_img, k, s_valid=None):
     """Differentiable CS conv taking the CS-ARRANGED weight (3C',3C)
     directly (the canonical stored-param layout); grads come back
     in-layout."""
     return conv3x3_cs_fwd(x_cs, w_csd.astype(x_cs.dtype),
-                          b.astype(jnp.float32)[:, None], w_img, k)
+                          b.astype(jnp.float32)[:, None], w_img, k,
+                          s_valid=s_valid)
 
 
-def _conv_cs_pre_vjp_fwd(x_cs, w_csd, b, w_img, k):
-    return conv3x3_cs_pre(x_cs, w_csd, b, w_img, k), (x_cs, w_csd)
+def _conv_cs_pre_vjp_fwd(x_cs, w_csd, b, w_img, k, s_valid=None):
+    return conv3x3_cs_pre(x_cs, w_csd, b, w_img, k, s_valid), (x_cs, w_csd)
 
 
-def _conv_cs_pre_vjp_bwd(w_img, k, res, g):
+def _conv_cs_pre_vjp_bwd(w_img, k, s_valid, res, g):
     x_cs, w_csd = res
     c_out, c_in = w_csd.shape[0] // 3, w_csd.shape[1] // 3
     wt = w_cs_T_from_cs(w_csd[None].astype(x_cs.dtype), c_in, c_out)[0]
-    dx, dwt, db = conv3x3_cs_bwd(x_cs, g, wt, w_img, k)
+    dx, dwt, db = conv3x3_cs_bwd(x_cs, g, wt, w_img, k, s_valid=s_valid)
     return dx, dwt.reshape(3 * c_out, 3 * c_in), db[:, 0]
 
 
@@ -972,24 +1041,26 @@ def _cp():
 
 
 def _rb_fwd_kernel_stk(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, scale_ref,
-                       out_ref, h1_ref, x3_ref, *, w_img, wk, skip=True):
+                       out_ref, h1_ref, x3_ref, *, w_img, wk, skip=True,
+                       s_valid=None):
     x = x_ref[0]
     c, s = x.shape
     _build_x3(x, x3_ref, s, w_img)
     p = jnp.dot(w1_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
-    h1 = jnp.maximum(_dy_reduce(p, s, wk) + b1_ref[0], 0.0).astype(x.dtype)
+    h1 = _zpad(jnp.maximum(_dy_reduce(p, s, wk) + b1_ref[0], 0.0),
+               s_valid).astype(x.dtype)
     h1_ref[0] = h1
     _build_x3(h1, x3_ref, s, w_img)
     p = jnp.dot(w2_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
     h2 = _dy_reduce(p, s, wk) + b2_ref[0]
     if skip:
         h2 = h2 * scale_ref[0, 0] + x.astype(jnp.float32)
-    out_ref[0] = h2.astype(out_ref.dtype)
+    out_ref[0] = _zpad(h2, s_valid).astype(out_ref.dtype)
 
 
 def _rb_bwd_kernel_stk(x_ref, h1_ref, g_ref, w1t_ref, w2t_ref, scale_ref,
                        dx_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-                       s3_ref, *, w_img, wk, skip=True):
+                       s3_ref, *, w_img, wk, skip=True, s_valid=None):
     gid = pl.program_id(0)
     x = x_ref[0]
     h1 = h1_ref[0]
@@ -1014,7 +1085,7 @@ def _rb_bwd_kernel_stk(x_ref, h1_ref, g_ref, w1t_ref, w2t_ref, scale_ref,
     dx = _dy_reduce(p, s, wk)
     if skip:
         dx = dx + g.astype(jnp.float32)
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dx_ref[0] = _zpad(dx, s_valid).astype(dx_ref.dtype)
 
     _build_x3(h1, s3_ref, s, w_img)
     h3 = s3_ref[...]
@@ -1038,14 +1109,15 @@ def _rb_bwd_kernel_stk(x_ref, h1_ref, g_ref, w1t_ref, w2t_ref, scale_ref,
 
 
 def _rb_fwd_call_stk(x_cs, w1s, b1s, w2s, b2s, scale, w_img, k,
-                     interpret=None, skip=True):
+                     interpret=None, skip=True, s_valid=None):
     """w1s/b1s/w2s/b2s are (1, ...) XLA-level slices of the stacked
     weights: every block invocation is a byte-identical Mosaic kernel,
     so one compile serves the whole trunk (see rdb_fused_fwd)."""
     g, c, s = x_cs.shape
     blk, _ = _specs(g, c, s)
     return pl.pallas_call(
-        partial(_rb_fwd_kernel_stk, w_img=w_img, wk=w_img * k, skip=skip),
+        partial(_rb_fwd_kernel_stk, w_img=w_img, wk=w_img * k, skip=skip,
+                s_valid=s_valid),
         grid=(g,),
         compiler_params=_cp(),
         in_specs=[blk, _stk(0, (3 * c, 3 * c)), _stk(0, (c, 1)),
@@ -1063,14 +1135,15 @@ def _rb_fwd_call_stk(x_cs, w1s, b1s, w2s, b2s, scale, w_img, k,
 
 
 def _rb_bwd_call_stk(x_cs, h1_cs, g_cs, w1ts, w2ts, scale, w_img, k,
-                     interpret=None, skip=True):
+                     interpret=None, skip=True, s_valid=None):
     g, c, s = x_cs.shape
     blk, _ = _specs(g, c, s)
     acc_w = pl.BlockSpec((3, c, 3 * c), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     acc_b = pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_rb_bwd_kernel_stk, w_img=w_img, wk=w_img * k, skip=skip),
+        partial(_rb_bwd_kernel_stk, w_img=w_img, wk=w_img * k, skip=skip,
+                s_valid=s_valid),
         grid=(g,),
         compiler_params=_cp(),
         in_specs=[blk, blk, blk, _stk(0, (3 * c, 3 * c)),
@@ -1090,8 +1163,8 @@ def _rb_bwd_call_stk(x_cs, h1_cs, g_cs, w1ts, w2ts, scale, w_img, k,
     )(x_cs, h1_cs, g_cs, w1ts, w2ts, scale)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def trunk_cs(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def trunk_cs(x_cs, w1, b1, w2, b2, res_scale, w_img, k, s_valid=None):
     """L fused CS resblocks. w1/w2 are the CS-ARRANGED stacks (L,3C,3C)
     (the canonical trunk param layout — see CSTrunk), b (L,C).
 
@@ -1102,11 +1175,12 @@ def trunk_cs(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
     batched, in bf16. (The per-block/HWIO variants cost 0.5-0.8 ms/step
     in transposes — profiled, PERF.md round 2.)
     """
-    out, *_ = _trunk_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k)
+    out, *_ = _trunk_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k,
+                         s_valid)
     return out
 
 
-def _trunk_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+def _trunk_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k, s_valid=None):
     dt = x_cs.dtype
     w1s = w1.astype(dt)
     w2s = w2.astype(dt)
@@ -1119,18 +1193,19 @@ def _trunk_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
         xs.append(x)
         x, h1 = _rb_fwd_call_stk(x, w1s[l:l + 1], b1s[l:l + 1],
                                  w2s[l:l + 1], b2s[l:l + 1], scale,
-                                 w_img, k)
+                                 w_img, k, s_valid=s_valid)
         h1s.append(h1)
     return x, xs, h1s, w1s, w2s
 
 
-def _trunk_vjp_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+def _trunk_vjp_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k,
+                   s_valid=None):
     out, xs, h1s, w1s, w2s = _trunk_fwd(x_cs, w1, b1, w2, b2,
-                                        res_scale, w_img, k)
+                                        res_scale, w_img, k, s_valid)
     return out, (tuple(xs), tuple(h1s), w1s, w2s)
 
 
-def _trunk_vjp_bwd(res_scale, w_img, k, res, g):
+def _trunk_vjp_bwd(res_scale, w_img, k, s_valid, res, g):
     xs, h1s, w1s, w2s = res
     l_blocks = len(xs)
     c = w1s.shape[1] // 3
@@ -1142,7 +1217,7 @@ def _trunk_vjp_bwd(res_scale, w_img, k, res, g):
     for l in reversed(range(l_blocks)):
         g, dw1t, db1t, dw2t, db2t = _rb_bwd_call_stk(
             xs[l], h1s[l], g, w1ts[l:l + 1], w2ts[l:l + 1], scale,
-            w_img, k)
+            w_img, k, s_valid=s_valid)
         # (3, C, 3C) [(dy),(c_out),(dx,c_in)] reshapes to the (3C, 3C)
         # CS arrangement exactly — free
         dw1[l], db1[l] = dw1t.reshape(3 * c, 3 * c), db1t[:, 0]
@@ -1169,7 +1244,7 @@ trunk_cs.defvjp(_trunk_vjp_fwd, _trunk_vjp_bwd)
 
 def _trunk_fwd_kernel_mega(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                            scale_ref, out_ref, xs_ref, h1_ref, x3_ref,
-                           *, w_img, wk):
+                           *, w_img, wk, s_valid=None):
     l = pl.program_id(1)
 
     @pl.when(l == 0)
@@ -1181,18 +1256,20 @@ def _trunk_fwd_kernel_mega(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     xs_ref[0, 0] = x
     _build_x3(x, x3_ref, s, w_img)
     p = jnp.dot(w1_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
-    h1 = jnp.maximum(_dy_reduce(p, s, wk) + b1_ref[0], 0.0).astype(x.dtype)
+    h1 = _zpad(jnp.maximum(_dy_reduce(p, s, wk) + b1_ref[0], 0.0),
+               s_valid).astype(x.dtype)
     h1_ref[0, 0] = h1
     _build_x3(h1, x3_ref, s, w_img)
     p = jnp.dot(w2_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
     h2 = _dy_reduce(p, s, wk) + b2_ref[0]
-    out_ref[0] = (h2 * scale_ref[0, 0]
-                  + x.astype(jnp.float32)).astype(out_ref.dtype)
+    out_ref[0] = _zpad(h2 * scale_ref[0, 0]
+                       + x.astype(jnp.float32), s_valid).astype(out_ref.dtype)
 
 
 def _trunk_bwd_kernel_mega(xs_ref, h1_ref, g_ref, w1t_ref, w2t_ref,
                            scale_ref, dx_ref, dw1_ref, db1_ref, dw2_ref,
-                           db2_ref, s3_ref, gr_ref, *, w_img, wk, l_blocks):
+                           db2_ref, s3_ref, gr_ref, *, w_img, wk, l_blocks,
+                           s_valid=None):
     gid = pl.program_id(0)
     l = pl.program_id(1)
     lr = l_blocks - 1 - l    # blocks processed in reverse
@@ -1221,7 +1298,8 @@ def _trunk_bwd_kernel_mega(xs_ref, h1_ref, g_ref, w1t_ref, w2t_ref,
 
     _build_x3(dh1, s3_ref, s, w_img)
     p = jnp.dot(w1t_ref[0], s3_ref[...], preferred_element_type=jnp.float32)
-    dx_new = (_dy_reduce(p, s, wk) + g.astype(jnp.float32)).astype(x.dtype)
+    dx_new = _zpad(_dy_reduce(p, s, wk)
+                   + g.astype(jnp.float32), s_valid).astype(x.dtype)
 
     # dW as ONE stacked dot per conv: GR [(dy, c_out), s] @ X3^T gives
     # the (3C, 3C) CS arrangement directly with M=192 (full output
@@ -1256,7 +1334,7 @@ def _mega_cp():
 
 
 def trunk_fwd_mega(x_cs, w1s, b1s, w2s, b2s, scale, w_img, k,
-                   interpret=None):
+                   interpret=None, s_valid=None):
     g, c, s = x_cs.shape
     l_blocks = w1s.shape[0]
     blk_g = pl.BlockSpec((1, c, s), lambda gi, li: (gi, 0, 0),
@@ -1268,7 +1346,8 @@ def trunk_fwd_mega(x_cs, w1s, b1s, w2s, b2s, scale, w_img, k,
     blk_lg = pl.BlockSpec((1, 1, c, s), lambda gi, li: (li, gi, 0, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_trunk_fwd_kernel_mega, w_img=w_img, wk=w_img * k),
+        partial(_trunk_fwd_kernel_mega, w_img=w_img, wk=w_img * k,
+                s_valid=s_valid),
         grid=(g, l_blocks),
         compiler_params=_mega_cp(),
         in_specs=[blk_g, blk_w, blk_b, blk_w, blk_b,
@@ -1286,7 +1365,7 @@ def trunk_fwd_mega(x_cs, w1s, b1s, w2s, b2s, scale, w_img, k,
 
 
 def trunk_bwd_mega(xs, h1s, g_cs, w1ts, w2ts, scale, w_img, k,
-                   interpret=None):
+                   interpret=None, s_valid=None):
     l_blocks, g, c, s = xs.shape
     blk_g = pl.BlockSpec((1, c, s), lambda gi, li: (gi, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -1303,7 +1382,7 @@ def trunk_bwd_mega(xs, h1s, g_cs, w1ts, w2ts, scale, w_img, k,
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_trunk_bwd_kernel_mega, w_img=w_img, wk=w_img * k,
-                l_blocks=l_blocks),
+                l_blocks=l_blocks, s_valid=s_valid),
         grid=(g, l_blocks),
         compiler_params=_mega_cp(),
         in_specs=[blk_lg, blk_lg, blk_g, blk_w, blk_w,
@@ -1325,39 +1404,42 @@ def trunk_bwd_mega(xs, h1s, g_cs, w1ts, w2ts, scale, w_img, k,
     )(xs, h1s, g_cs, w1ts, w2ts, scale)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def trunk_cs_mega(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def trunk_cs_mega(x_cs, w1, b1, w2, b2, res_scale, w_img, k, s_valid=None):
     """trunk_cs with the whole chain in one pallas_call per direction."""
     out, *_ = _trunk_fwd_mega_parts(x_cs, w1, b1, w2, b2, res_scale,
-                                    w_img, k)
+                                    w_img, k, s_valid)
     return out
 
 
-def _trunk_fwd_mega_parts(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+def _trunk_fwd_mega_parts(x_cs, w1, b1, w2, b2, res_scale, w_img, k,
+                          s_valid=None):
     dt = x_cs.dtype
     w1s = w1.astype(dt)
     w2s = w2.astype(dt)
     scale = jnp.asarray([[res_scale]], jnp.float32)
     out, xs, h1s = trunk_fwd_mega(
         x_cs, w1s, b1.astype(jnp.float32)[..., None],
-        w2s, b2.astype(jnp.float32)[..., None], scale, w_img, k)
+        w2s, b2.astype(jnp.float32)[..., None], scale, w_img, k,
+        s_valid=s_valid)
     return out, xs, h1s, w1s, w2s
 
 
-def _trunk_mega_vjp_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k):
+def _trunk_mega_vjp_fwd(x_cs, w1, b1, w2, b2, res_scale, w_img, k,
+                        s_valid=None):
     out, xs, h1s, w1s, w2s = _trunk_fwd_mega_parts(
-        x_cs, w1, b1, w2, b2, res_scale, w_img, k)
+        x_cs, w1, b1, w2, b2, res_scale, w_img, k, s_valid)
     return out, (xs, h1s, w1s, w2s)
 
 
-def _trunk_mega_vjp_bwd(res_scale, w_img, k, res, g):
+def _trunk_mega_vjp_bwd(res_scale, w_img, k, s_valid, res, g):
     xs, h1s, w1s, w2s = res
     c = w1s.shape[1] // 3
     w1ts = w_cs_T_from_cs(w1s, c, c)
     w2ts = w_cs_T_from_cs(w2s, c, c)
     scale = jnp.asarray([[res_scale]], jnp.float32)
     dx, dw1, db1, dw2, db2 = trunk_bwd_mega(
-        xs, h1s, g, w1ts, w2ts, scale, w_img, k)
+        xs, h1s, g, w1ts, w2ts, scale, w_img, k, s_valid=s_valid)
     # the stacked-GR dot emits the (3C, 3C) CS arrangement directly
     return dx, dw1, db1[..., 0], dw2, db2[..., 0]
 

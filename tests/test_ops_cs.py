@@ -802,3 +802,133 @@ def test_cs_trunk_per_block_budget_fallback(monkeypatch):
                     jax.tree_util.tree_leaves(g_mega)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# dead-lane padded packings (cs_plan_pad): lane-unaligned S support
+# ---------------------------------------------------------------------------
+#
+# Scale-3 shapes (42x42 LR) have S = H*W*k that is NEVER a 128 multiple,
+# which Mosaic rejects (PERF.md round 3). cs_plan_pad packs with a
+# zero-padded dead-lane tail instead; kernels re-zero the tail on every
+# output write so SAME-padding semantics stay exact across chained
+# kernels. These tests pin values AND gradients against the XLA
+# reference on an unaligned 6x6 shape (S = 144 -> padded 256).
+
+
+@pytest.fixture(scope='module')
+def pad_data():
+    rng = np.random.default_rng(11)
+    B, H, W, C = 4, 6, 6, 16
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    return x, w1, b1, w2, b2
+
+
+def test_cs_plan_pad_shapes(pad_data):
+    from srtpu.ops.cs_conv import cs_plan_pad
+    x = pad_data[0]
+    assert cs_plan(x.shape) is None          # 144*k never 128-aligned
+    k, g, s_pad = cs_plan_pad(x.shape)
+    assert g * k == x.shape[0]
+    s_real = 6 * 6 * k
+    assert s_pad % 128 == 0 and s_pad >= s_real + 6 * k
+    # aligned shapes must NOT take the padded path
+    assert cs_plan_pad((16, 8, 8, 16)) is None
+
+
+def test_padded_layout_roundtrip(pad_data):
+    from srtpu.ops.cs_conv import cs_plan_pad
+    x = pad_data[0]
+    k, g, s_pad = cs_plan_pad(x.shape)
+    x_cs = nhwc_to_cs(x, k, s_pad)
+    assert x_cs.shape == (g, x.shape[3], s_pad)
+    np.testing.assert_array_equal(np.asarray(x_cs[:, :, 6 * 6 * k:]), 0)
+    np.testing.assert_array_equal(cs_to_nhwc(x_cs, k, 6, 6), x)
+
+
+def test_padded_conv_fwd_and_grads(pad_data):
+    from srtpu.ops.cs_conv import cs_plan_pad
+    x, w1, b1, *_ = pad_data
+    k, _, s_pad = cs_plan_pad(x.shape)
+    s_valid = 6 * 6 * k
+
+    def f_cs(x_, w_, b_):
+        y = conv3x3_cs(nhwc_to_cs(x_, k, s_pad), w_, b_, 6, k, s_valid)
+        return cs_to_nhwc(y, k, 6, 6)
+
+    got = f_cs(x, w1, b1)
+    ref = conv3x3_reference(x, w1, b1)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    loss_cs = lambda *a: jnp.sum(jnp.sin(f_cs(*a)))
+    loss_ref = lambda *a: jnp.sum(jnp.sin(conv3x3_reference(*a)))
+    g_cs = jax.grad(loss_cs, argnums=(0, 1, 2))(x, w1, b1)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w1, b1)
+    for a, b in zip(g_cs, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize('mega', [False, True])
+def test_padded_trunk_matches_xla(pad_data, mega):
+    from srtpu.ops.cs_conv import (cs_plan_pad, trunk_cs, trunk_cs_mega,
+                                   w_cs)
+    x, w1, b1, w2, b2 = pad_data
+    k, _, s_pad = cs_plan_pad(x.shape)
+    s_valid = 6 * 6 * k
+    w1s = w_cs(w1)[None]
+    w2s = w_cs(w2)[None]
+    trunk = trunk_cs_mega if mega else trunk_cs
+
+    def f_cs(x_, w1s_, b1_, w2s_, b2_):
+        y = trunk(nhwc_to_cs(x_, k, s_pad), w1s_, b1_[None], w2s_,
+                  b2_[None], 0.7, 6, k, s_valid)
+        return cs_to_nhwc(y, k, 6, 6)
+
+    got = f_cs(x, w1s, b1, w2s, b2)
+    ref = _rb_ref(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    loss_cs = lambda *a: jnp.sum(jnp.sin(f_cs(*a)))
+    g_cs = jax.grad(loss_cs, argnums=(0, 2, 4))(x, w1s, b1, w2s, b2)
+
+    def loss_ref(x_, b1_, b2_):
+        return jnp.sum(jnp.sin(_rb_ref(x_, w1, b1_, w2, b2_)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, b1, b2)
+    for a, b in zip(g_cs, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_padded_cs_trunk_module_matches_xla_fallback(monkeypatch):
+    """CSTrunk on an unaligned shape takes the padded CS path and matches
+    the XLA fallback (same params) in values and gradients."""
+    import srtpu.ops.cs_conv as cs
+    from srtpu.models.common import CSTrunk
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((4, 6, 6, 16)),
+                    jnp.float32)
+    m = CSTrunk(n_feats=16, n_resblocks=2, res_scale=0.8)
+    p = m.init(jax.random.PRNGKey(0), x)
+
+    taken = []
+    real = cs.cs_plan_pad
+    monkeypatch.setattr(cs, 'cs_plan_pad',
+                        lambda s: taken.append(1) or real(s))
+    out_cs = m.apply(p, x)
+    assert taken, 'padded CS path was not consulted'
+
+    monkeypatch.setattr(cs, 'cs_plan_pad', lambda s: None)
+    out_xla = m.apply(p, x)
+    np.testing.assert_allclose(np.asarray(out_cs), np.asarray(out_xla),
+                               atol=1e-4)
+
+    monkeypatch.setattr(cs, 'cs_plan_pad', real)
+    g_cs = jax.grad(lambda q: jnp.sum(jnp.sin(m.apply(q, x))))(p)
+    monkeypatch.setattr(cs, 'cs_plan_pad', lambda s: None)
+    g_xla = jax.grad(lambda q: jnp.sum(jnp.sin(m.apply(q, x))))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_cs),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
