@@ -432,6 +432,14 @@ class CSTrunk(nn.Module):
                            s_valid)
         res = conv3x3_cs(res, wc, bc, w_img, k, s_valid) + xc
         if emit_cs:
+            # NOTE (padded path): when s_pad is set the emitted CS buffer
+            # carries a dead-lane tail. CSUpscaleTail re-derives the SAME
+            # cs_plan_pad and consumes it directly for single-stage
+            # scales (x2/x3) with a <=3-tap phase-dense final conv — the
+            # canonical scale-3 recipe rides the kernels end-to-end
+            # (round 4). Multi-stage tails (x4/x8) and wide final convs
+            # (SRResNet's 9x9) still route the padded buffer through
+            # cs_to_nhwc (which drops the pad tail) to the XLA tail.
             return res, k
         return cs_to_nhwc(res, k, x.shape[1], w_img)
 
@@ -472,8 +480,8 @@ class CSUpscaleTail(nn.Module):
         (G, C, S) trunk output (CSTrunk/CSBNTrunk ``emit_cs``): the seam
         then skips a CS->NHWC->CS round trip."""
         from srtpu.ops.cs_conv import (conv3x3_cs, conv3x3_cs_pre, cs_plan,
-                                       cs_regroup, cs_to_nhwc, nhwc_to_cs,
-                                       pm_to_nhwc, upsample_cs,
+                                       cs_plan_pad, cs_regroup, cs_to_nhwc,
+                                       nhwc_to_cs, pm_to_nhwc, upsample_cs,
                                        w_hwio_from_cs, w_phase_dense,
                                        w_pm_cs)
         n, fk = self.n_feats, self.final_ksize
@@ -514,6 +522,25 @@ class CSUpscaleTail(nn.Module):
         # lane-bound gate as in CSTrunk: beyond ~96 channels XLA's convs
         # fill the MXU and the wide pm stage (r^2*C) stops fitting VMEM
         plan = cs_plan((b, h, w, n)) if n <= 96 else None
+        s_pad = s_valid = None
+        # the phase-dense final conv's COARSE tap span (w_phase_dense ck):
+        # the dead-lane padded path requires ck <= 3 (cs_plan_pad's
+        # one-dead-row guarantee covers only dy = +/-1 taps)
+        hw_f = fk // 2
+        r_last = rs[-1]
+        ck = (r_last - 1 + hw_f) // r_last \
+            + (hw_f // r_last) + (1 if hw_f % r_last else 0) + 1
+        if plan is None and n <= 96 and len(rs) == 1 and ck <= 3:
+            # single-stage tail (x2/x3) on a lane-unaligned S (the
+            # canonical scale-3 42x42 LR): dead-lane padded packing —
+            # the same cs_plan_pad the trunk uses, so the padded seam
+            # (CSTrunk emit_cs) lines up. No interleave stage runs, and
+            # both convs (pm 3x3 + phase-dense ck<=3) honor s_valid.
+            pp = cs_plan_pad((b, h, w, n))
+            if pp is not None:
+                plan = (pp[0], pp[1])
+                s_pad = pp[2]
+                s_valid = h * w * pp[0]
         # every stage input must fit the kernels (S <= 4096; final conv
         # reads S_f <= 16384)
         ok = plan is not None
@@ -534,9 +561,10 @@ class CSUpscaleTail(nn.Module):
             # (S unchanged); its wide channel count r^2*C must be
             # 64-divisible for the kernels' chunked paths
             pm_c = rs[-1] ** 2 * n
-            ok = ok and hh * ww * k <= 4096 \
+            ok = ok and (s_pad or hh * ww * k) <= 4096 \
                 and (pm_c <= 128 or pm_c % 64 == 0) \
-                and (cs is None or plan[0] == cs[0])
+                and (cs is None or plan[0] == cs[0]) \
+                and (cs is None or s_pad is None or x.shape[-1] == s_pad)
 
         if not ok:
             y = (x if cs is None else cs_to_nhwc(x, cs[0], h, w)) \
@@ -550,7 +578,7 @@ class CSUpscaleTail(nn.Module):
         k = plan[0]
         hh, ww = h, w
         y = x.astype(dtype) if cs is not None \
-            else nhwc_to_cs(x.astype(dtype), k)
+            else nhwc_to_cs(x.astype(dtype), k, s_pad)
         for i, r in enumerate(rs[:-1]):
             # NOTE regrouping BEFORE the stage (r^2 x less copy traffic)
             # was tried and fails to lower: at k=1 the interleave's
@@ -567,7 +595,7 @@ class CSUpscaleTail(nn.Module):
         # PReLU with a scalar alpha is exact on the phase-major channels.
         r = rs[-1]
         y = conv3x3_cs_pre(y, w_pm_cs(ws[-1], n, r), bs[-1].reshape(-1),
-                           ww, k)
+                           ww, k, s_valid)
         y = _act(y, len(rs) - 1)
         # final conv as a phase-dense COARSE conv: the fine fk x fk conv
         # becomes a ck x ck coarse conv over r^2*C phase-major channels
@@ -579,7 +607,7 @@ class CSUpscaleTail(nn.Module):
         bpd = jnp.concatenate(
             [jnp.tile(bf, r * r),
              jnp.zeros(co - r * r * self.channels, bf.dtype)])
-        y = conv3x3_cs(y, wpd, bpd, ww, k)
+        y = conv3x3_cs(y, wpd, bpd, ww, k, s_valid)
         return pm_to_nhwc(y, r, self.channels, k, hh, ww)
 
 

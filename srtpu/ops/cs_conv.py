@@ -54,25 +54,36 @@ def cs_plan(shape: tuple[int, ...]) -> tuple[int, int] | None:
     return cs_plan_s(shape, S_TARGET, S_MAX)
 
 
-def cs_plan_s(shape, s_target, s_max):
-    """cs_plan with explicit lane budget (RDN's wide dense layers use a
-    smaller S so the (3*c_in, S) im2col stacks fit VMEM).
-
-    Off-TPU the plan is None (models fall back to XLA convs — correct and
-    fast on CPU, unlike interpret-mode kernels) unless SRTPU_CS_OFF_TPU=1
-    (set by the test suite to exercise the kernels in interpret mode).
-    """
+def _cs_backend_ok() -> bool:
+    """CS kernels run only on TPU — or in interpret mode when
+    SRTPU_CS_OFF_TPU=1 (the test-suite opt-in); elsewhere plans are None
+    and callers fall back to XLA convs (correct and fast on CPU, unlike
+    interpret-mode kernels). Shared by cs_plan_s / cs_plan_pad so the
+    gate can't drift between them."""
     import os
-    if jax.default_backend() != 'tpu' \
-            and os.environ.get('SRTPU_CS_OFF_TPU') != '1':
-        return None
-    b, h, w, c = shape
-    if c % 16 or h < 2 or w < 2:
-        return None
+    return (jax.default_backend() == 'tpu'
+            or os.environ.get('SRTPU_CS_OFF_TPU') == '1')
+
+
+def _select_k(b: int, h: int, w: int, s_target: int) -> int:
+    """Images per lane-row: the largest divisor of B with H*W*k near
+    s_target (shared k-selection for plain and padded plans)."""
     k = max(1, s_target // (h * w))
     k = min(k, b)
     while k > 1 and b % k:
         k -= 1
+    return k
+
+
+def cs_plan_s(shape, s_target, s_max):
+    """cs_plan with explicit lane budget (RDN's wide dense layers use a
+    smaller S so the (3*c_in, S) im2col stacks fit VMEM)."""
+    if not _cs_backend_ok():
+        return None
+    b, h, w, c = shape
+    if c % 16 or h < 2 or w < 2:
+        return None
+    k = _select_k(b, h, w, s_target)
     if b % k or h * w * k > s_max:
         return None
     if h * w * k % 128:
@@ -105,17 +116,12 @@ def cs_plan_pad(shape: tuple[int, ...]) -> tuple[int, int, int] | None:
     """
     if cs_plan(shape) is not None:
         return None
-    import os
-    if jax.default_backend() != 'tpu' \
-            and os.environ.get('SRTPU_CS_OFF_TPU') != '1':
+    if not _cs_backend_ok():
         return None
     b, h, w, c = shape
     if c % 16 or h < 2 or w < 2:
         return None
-    k = max(1, S_TARGET // (h * w))
-    k = min(k, b)
-    while k > 1 and b % k:
-        k -= 1
+    k = _select_k(b, h, w, S_TARGET)
     if b % k:
         return None
     s_real = h * w * k
@@ -405,6 +411,14 @@ def _interpret(flag):
 def conv3x3_cs_fwd(x_cs, w2, b, w_img, k, interpret=None, kk=3,
                    s_valid=None):
     """x_cs (G, C, S) bf16/f32; w2 (kk*C', kk*C) CS-arranged; b (C', 1)."""
+    if s_valid is not None and kk != 3:
+        # cs_plan_pad pads exactly ONE dead row (W*k lanes) past S, which
+        # covers only the dy = +/-1 taps of a 3x3 conv; a kk>=5 conv's
+        # dy = +/-2 reads would wrap valid data into valid lanes whenever
+        # s_pad - s_valid < (kk//2)*W*k. No planner produces this today —
+        # fail loudly rather than silently corrupt.
+        raise ValueError(f'dead-lane padding (s_valid) supports kk=3 '
+                         f'only, got kk={kk}')
     g, c, s = x_cs.shape
     c_out = w2.shape[0] // kk
     # chunk wide c_out so the (kk*C_out, S) f32 partial fits VMEM
@@ -441,6 +455,10 @@ def conv3x3_cs_bwd(x_cs, g_cs, wt, w_img, k, interpret=None, kk=3,
                    s_valid=None):
     """Backward of the CS conv; supports c_out != c_in (rectangular).
     g_cs (G, C_out, S); wt (kk*C_in, kk*C_out) transposed-kernel CS."""
+    if s_valid is not None and kk != 3:
+        # see conv3x3_cs_fwd: one-dead-row padding is sound for kk=3 only
+        raise ValueError(f'dead-lane padding (s_valid) supports kk=3 '
+                         f'only, got kk={kk}')
     g, c, s = x_cs.shape
     c_out = g_cs.shape[1]
     blk = pl.BlockSpec((1, c, s), lambda i: (i, 0, 0),
@@ -957,9 +975,14 @@ def w_phase_dense(w_hwio: jax.Array, r: int) -> jax.Array:
 
 def pm_to_nhwc(y_pm: jax.Array, r: int, ch: int, k: int, h: int,
                w: int) -> jax.Array:
-    """Phase-major coarse CS (G, >=r*r*ch, h*k*w) -> fine NHWC
-    (G*k, h*r, w*r, ch); channels beyond r*r*ch are alignment padding."""
+    """Phase-major coarse CS (G, >=r*r*ch, h*k*w [+pad]) -> fine NHWC
+    (G*k, h*r, w*r, ch); channels beyond r*r*ch are alignment padding and
+    dead-lane tails (cs_plan_pad) are dropped — the VJP then zero-fills
+    the cotangent's pad lanes, keeping the pad-lanes-are-zero invariant
+    through the backward."""
     g = y_pm.shape[0]
+    if y_pm.shape[2] > h * k * w:
+        y_pm = y_pm[:, :, :h * k * w]
     y = y_pm[:, :r * r * ch, :].reshape(g, r, r, ch, h, k, w)
     return jnp.transpose(y, (0, 5, 4, 1, 6, 2, 3)) \
         .reshape(g * k, h * r, w * r, ch)

@@ -19,6 +19,17 @@ from srtpu.ops.ddbpn_cs import (_PROJ_PARAMS, convert_params_xla_to_cs,
                                 w_up_pm)
 
 
+@pytest.fixture(autouse=True)
+def cs_kernels_interpret(monkeypatch):
+    """Opt in to interpret-mode CS kernels on the CPU backend: cs_plan is
+    TPU-gated in production, and conftest no longer sets the flag
+    globally (the zoo defaults use_pallas='cs', so a global flag would
+    drag every default-model test through ~100x-slower interpret
+    kernels)."""
+    monkeypatch.setenv('SRTPU_CS_OFF_TPU', '1')
+
+
+
 @pytest.mark.parametrize('r', [2, 4, 8])
 def test_projection_builders_match_modules(r):
     """w_up_pm / w_down_pd: the coarse phase-major formulation equals the
@@ -51,7 +62,7 @@ def ddbpn_pair():
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.random((4, 8, 8, 3)), jnp.float32)
     kw = dict(scale_factor=4, n0=32, nr=16, depth=4)
-    m_x = DDBPN(**kw)
+    m_x = DDBPN(use_pallas=False, **kw)
     vs = m_x.init(jax.random.PRNGKey(0), x)
     m_c = DDBPN(use_pallas='cs', **kw)
     p_cs = convert_params_xla_to_cs(vs['params'], 4, 16, 4)

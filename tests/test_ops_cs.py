@@ -14,6 +14,17 @@ from srtpu.ops.cs_conv import (conv3x3_cs, conv3x3_reference, cs_plan,
                                cs_to_nhwc, nhwc_to_cs, resblock_cs)
 
 
+@pytest.fixture(autouse=True)
+def cs_kernels_interpret(monkeypatch):
+    """Opt in to interpret-mode CS kernels on the CPU backend: cs_plan is
+    TPU-gated in production, and conftest no longer sets the flag
+    globally (the zoo defaults use_pallas='cs', so a global flag would
+    drag every default-model test through ~100x-slower interpret
+    kernels)."""
+    monkeypatch.setenv('SRTPU_CS_OFF_TPU', '1')
+
+
+
 @pytest.fixture(scope='module')
 def data():
     rng = np.random.default_rng(7)
@@ -201,14 +212,14 @@ def test_resgroup_ca_cs_matches_xla(data):
 
 
 def test_rcan_cs_matches_default():
-    """RCAN(use_pallas='cs') == RCAN(default) given identical params."""
+    """RCAN(use_pallas='cs') == the XLA branch given identical params."""
     from srtpu.models import create_model
     from srtpu.ops.cs_conv import w_cs_batch
     rng = np.random.default_rng(13)
     x = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32)
     kw = dict(scale_factor=2, n_feats=16, n_resblocks=2, n_resgroups=2,
               reduction=4)
-    m_ref = create_model('RCAN', **kw)
+    m_ref = create_model('RCAN', use_pallas=False, **kw)
     m_cs = create_model('RCAN', use_pallas='cs', **kw)
     p_ref = m_ref.init(jax.random.PRNGKey(0), x)
     p_cs = m_cs.init(jax.random.PRNGKey(0), x)
@@ -487,13 +498,31 @@ def test_cs_plan_fallbacks():
     assert k * g == 16 and k >= 1
 
 
+def test_dead_lane_padding_rejects_wide_kernels():
+    """cs_plan_pad's one-dead-row guarantee covers only kk=3's dy=+/-1
+    taps; a kk>=5 conv with s_valid set would wrap valid data into valid
+    lanes — the kernels must refuse rather than silently corrupt."""
+    from srtpu.ops.cs_conv import conv3x3_cs_bwd, conv3x3_cs_fwd
+    x = jnp.zeros((1, 16, 256), jnp.float32)
+    w5 = jnp.zeros((5 * 16, 5 * 16), jnp.float32)
+    b = jnp.zeros((16, 1), jnp.float32)
+    with pytest.raises(ValueError, match='kk=3'):
+        conv3x3_cs_fwd(x, w5, b, 16, 1, kk=5, s_valid=224)
+    with pytest.raises(ValueError, match='kk=3'):
+        conv3x3_cs_bwd(x, x, w5, 16, 1, kk=5, s_valid=224)
+    # kk=3 with s_valid stays accepted (the live padded path)
+    from srtpu.ops.cs_conv import cs_plan_pad
+    plan = cs_plan_pad((4, 42, 42, 16))
+    assert plan is not None and plan[2] % 128 == 0
+
+
 def test_edsr_cs_matches_default():
-    """EDSR(use_pallas='cs') == EDSR(default) given identical param values."""
+    """EDSR(use_pallas='cs') == the XLA branch given identical param values."""
     from srtpu.models import create_model
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32)
     kw = dict(scale_factor=2, n_feats=16, n_resblocks=2)
-    m_ref = create_model('EDSR', **kw)
+    m_ref = create_model('EDSR', use_pallas=False, **kw)
     m_cs = create_model('EDSR', use_pallas='cs', **kw)
     p_ref = m_ref.init(jax.random.PRNGKey(0), x)
     p_cs = m_cs.init(jax.random.PRNGKey(0), x)
@@ -901,6 +930,76 @@ def test_padded_trunk_matches_xla(pad_data, mega):
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, b1, b2)
     for a, b in zip(g_cs, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_padded_tail_x3_matches_xla_fallback(monkeypatch):
+    """CSUpscaleTail at scale 3 on a lane-unaligned shape (the canonical
+    x3 recipe class: S never 128-aligned) takes the dead-lane padded
+    kernel path — single pm stage + phase-dense 3x3 final conv, both
+    honoring s_valid — and matches the XLA fallback in values and
+    gradients (VERDICT round 3 #3: no more x3 CS gap)."""
+    import srtpu.ops.cs_conv as cs
+    from srtpu.models.common import CSUpscaleTail
+    # n_feats=64: the x3 pm stage needs r^2*C % 64 == 0
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((4, 6, 6, 64)) * 0.3,
+        jnp.float32)
+    m = CSUpscaleTail(scale_factor=3, n_feats=64)
+    p = m.init(jax.random.PRNGKey(0), x)
+
+    assert cs.cs_plan(x.shape) is None       # unaligned: plain plan fails
+    taken = []
+    real = cs.cs_plan_pad
+    monkeypatch.setattr(cs, 'cs_plan_pad',
+                        lambda s: taken.append(1) or real(s))
+    out_cs = m.apply(p, x)
+    assert taken, 'padded CS tail path was not consulted'
+    assert out_cs.shape == (4, 18, 18, 3)
+
+    monkeypatch.setattr(cs, 'cs_plan_pad', lambda s: None)
+    out_xla = m.apply(p, x)
+    np.testing.assert_allclose(np.asarray(out_cs), np.asarray(out_xla),
+                               atol=1e-4)
+
+    monkeypatch.setattr(cs, 'cs_plan_pad', real)
+    g_cs = jax.grad(lambda q: jnp.sum(jnp.sin(m.apply(q, x))))(p)
+    monkeypatch.setattr(cs, 'cs_plan_pad', lambda s: None)
+    g_xla = jax.grad(lambda q: jnp.sum(jnp.sin(m.apply(q, x))))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_cs),
+                    jax.tree_util.tree_leaves(g_xla)):
+        # rtol covers the large-magnitude bias grads (~1e3), where f32
+        # accumulation order alone moves the last few ulps
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_padded_seam_x3_edsr_end_to_end(monkeypatch):
+    """EDSR x3 (default use_pallas='cs') on an unaligned shape runs the
+    padded trunk AND the padded tail through the emit_cs seam — the CS
+    buffer (with its dead-lane tail) passes trunk->tail without an
+    NHWC round trip — and matches the XLA formulation."""
+    import srtpu.ops.cs_conv as cs
+    from srtpu.models import create_model
+    x = jnp.asarray(
+        np.random.default_rng(9).random((4, 6, 6, 3)), jnp.float32)
+    kw = dict(scale_factor=3, n_feats=64, n_resblocks=1)
+    m_cs = create_model('EDSR', **kw)           # default 'cs'
+    p = m_cs.init(jax.random.PRNGKey(0), x)
+
+    converts = []
+    real_to_nhwc = cs.cs_to_nhwc
+    monkeypatch.setattr(cs, 'cs_to_nhwc',
+                        lambda *a: converts.append(1) or real_to_nhwc(*a))
+    out_cs = m_cs.apply(p, x)
+    assert out_cs.shape == (4, 18, 18, 3)
+    assert not converts, 'seam fell back to an NHWC round trip'
+
+    # XLA formulation with identical param VALUES via the layout converter
+    monkeypatch.setattr(cs, 'cs_plan_pad', lambda s: None)
+    monkeypatch.setattr(cs, 'cs_plan', lambda s, *a: None)
+    out_xla = m_cs.apply(p, x)
+    np.testing.assert_allclose(np.asarray(out_cs), np.asarray(out_xla),
+                               atol=2e-4)
 
 
 def test_padded_cs_trunk_module_matches_xla_fallback(monkeypatch):
