@@ -222,7 +222,11 @@ class DDBPN(nn.Module):
     n0: int = 128
     nr: int = 32
     depth: int = 6
-    use_pallas: Any = False
+    # 'cs' (default): phase-major back-projections — measured 3.1x vs
+    # XLA on TPU (PERF.md); non-{2,4} scales / off-plan shapes / non-TPU
+    # backends fall back to the identical-math XLA coarse-conv branch
+    # inside _cs_forward.
+    use_pallas: Any = 'cs'
     dtype: Any = None
 
     @nn.compact

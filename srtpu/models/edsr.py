@@ -22,9 +22,14 @@ class EDSR(nn.Module):
     n_feats: int = 64
     n_resblocks: int = 16
     res_scale: float = 1.0
-    # False: XLA convs; True: fused NHWC Pallas resblocks; 'cs': the
-    # transposed channel-sublane trunk (fastest at C=64; see srtpu/ops)
-    use_pallas: bool | str = False
+    # 'cs' (default): the transposed channel-sublane trunk + tail —
+    # measured 1.57-1.73x XLA across scales on TPU (PERF.md); off-plan
+    # shapes / non-TPU backends fall back to XLA inside CSTrunk, so the
+    # default is always safe. False: XLA convs; True: fused NHWC Pallas
+    # resblocks. Checkpoints trained with use_pallas=False convert via
+    # tools/convert_ckpt_layout.py (the CS trunk stores stacked
+    # CS-arranged weights, not per-block HWIO trees).
+    use_pallas: bool | str = 'cs'
     dtype: Any = None
 
     @nn.compact

@@ -166,8 +166,11 @@ class RCAN(nn.Module):
     n_resgroups: int = 10
     reduction: int = 16
     res_scale: float = 1.0
-    # False: XLA; True: fused Pallas CA gate; 'cs': CS-layout trunk
-    use_pallas: bool | str = False
+    # 'cs' (default): CS-layout trunk with the fused CA gate — measured
+    # +52% vs XLA at the 10x16 flagship on TPU (PERF.md); off-plan
+    # shapes / non-TPU backends fall back to XLA inside _cs_trunk.
+    # False: XLA; True: fused Pallas CA gate on NHWC.
+    use_pallas: bool | str = 'cs'
     dtype: Any = None
 
     @nn.compact

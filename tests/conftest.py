@@ -8,9 +8,13 @@ single-device CPU. Must run before jax is imported anywhere.
 import os
 
 os.environ['JAX_PLATFORMS'] = 'cpu'
-# exercise the CS Pallas kernels in interpret mode (product code keeps
-# them TPU-only; CPU users get the XLA fallback instead)
-os.environ['SRTPU_CS_OFF_TPU'] = '1'
+# NOTE: SRTPU_CS_OFF_TPU=1 (interpret-mode CS kernels on CPU) is NOT set
+# globally: the zoo now defaults use_pallas='cs' and interpret-mode
+# kernels are ~100x slower than the XLA fallback, so only the dedicated
+# kernel test modules opt in (see the `cs_kernels_interpret` autouse
+# fixtures in test_ops_cs/test_bn_cs/test_ddbpn_cs/test_parallel/
+# test_convert_layout). Everything else exercises the off-TPU XLA
+# fallback — the same path CPU users get in production.
 _flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (

@@ -15,6 +15,17 @@ from srtpu.ops.bn_resblock_cs import (bn_close_cs, bn_close_ref,
 from srtpu.ops.cs_conv import cs_plan, cs_to_nhwc, nhwc_to_cs, w_hwio_from_cs
 
 
+@pytest.fixture(autouse=True)
+def cs_kernels_interpret(monkeypatch):
+    """Opt in to interpret-mode CS kernels on the CPU backend: cs_plan is
+    TPU-gated in production, and conftest no longer sets the flag
+    globally (the zoo defaults use_pallas='cs', so a global flag would
+    drag every default-model test through ~100x-slower interpret
+    kernels)."""
+    monkeypatch.setenv('SRTPU_CS_OFF_TPU', '1')
+
+
+
 @pytest.fixture(scope='module')
 def data():
     rng = np.random.default_rng(11)

@@ -11,8 +11,16 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / 'tools'))
+
+
+@pytest.fixture(autouse=True)
+def cs_kernels_interpret(monkeypatch):
+    """Opt in to interpret-mode CS kernels (TPU-gated in production;
+    conftest no longer sets the flag globally — see its note)."""
+    monkeypatch.setenv('SRTPU_CS_OFF_TPU', '1')
 
 
 def _models():

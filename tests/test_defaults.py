@@ -1,0 +1,80 @@
+"""Zoo defaults ship the measured kernel wins (VERDICT round 3 #2).
+
+`create_model(X)` must be fast with no flags: every family with a
+measured CS-path win on TPU (PERF.md — EDSR 1.65x, RCAN +52%,
+SRResNet 2.47x, DDBPN 3.1x, RDN +22%) defaults ``use_pallas='cs'``;
+the measured negatives (WDSR 4.84 vs 3.79 ms, SRCNN XLA-near-roofline)
+stay on XLA. Off-plan shapes and non-TPU backends fall back to XLA
+inside the CS modules, so the default is always safe — asserted here.
+The reference's registry is the product surface this mirrors
+(/root/reference/models/__init__.py:1-21).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srtpu.models import create_model
+
+CANONICAL = (16, 32, 32, 64)   # b16, x4 LR 32x32, n_feats 64
+
+CS_DEFAULTS = {
+    # family -> (tiny init kwargs, param key proving the CS branch)
+    'EDSR': (dict(scale_factor=2, n_feats=16, n_resblocks=1), 'CSTrunk_0'),
+    'SRResNet': (dict(scale_factor=2, n_feats=16, n_resblocks=1),
+                 'CSBNTrunk_0'),
+    'RCAN': (dict(scale_factor=2, n_feats=16, n_resblocks=1, n_resgroups=1,
+                  reduction=4), 'CSResidualGroup_0'),
+    'DDBPN': (dict(scale_factor=2, n0=16, nr=16, depth=2),
+              'CSDenseProjection_0'),
+}
+
+
+@pytest.mark.parametrize('name', sorted(CS_DEFAULTS))
+def test_cs_is_the_default_branch(name):
+    """Default-constructed models route through the CS modules (whose
+    params the TPU kernels consume; off-plan they fall back internally)."""
+    kw, key = CS_DEFAULTS[name]
+    model = create_model(name, **kw)
+    assert model.use_pallas == 'cs'
+    x = jnp.asarray(np.random.default_rng(0).random((2, 8, 8, 3),
+                                                    np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)['params']
+    assert key in params, sorted(params)
+
+
+def test_rdn_default_is_cs():
+    assert create_model('RDN', scale_factor=2).use_pallas == 'cs'
+
+
+@pytest.mark.parametrize('name', ['WDSR', 'SRCNN'])
+def test_measured_negatives_stay_xla(name):
+    """WDSR-B loses on the CS path and SRCNN has no kernels (PERF.md) —
+    their defaults must remain the honest XLA formulation."""
+    model = create_model(name, scale_factor=2)
+    assert not getattr(model, 'use_pallas', False)
+
+
+def test_canonical_shape_is_plan_capable(monkeypatch):
+    """The canonical recipe shape (b16 x4 -> LR 32x32, C=64) admits a CS
+    plan, so the shipped defaults actually hit the kernels on TPU."""
+    monkeypatch.setenv('SRTPU_CS_OFF_TPU', '1')
+    from srtpu.ops.cs_conv import cs_plan
+    plan = cs_plan(CANONICAL)
+    assert plan is not None
+    k, g = plan
+    assert k * g == CANONICAL[0]
+
+
+def test_default_falls_back_cleanly_off_tpu(monkeypatch):
+    """On a non-TPU backend cs_plan is None and the default-'cs' model
+    must still produce correct output via its internal XLA fallback."""
+    monkeypatch.delenv('SRTPU_CS_OFF_TPU', raising=False)
+    model = create_model('EDSR', scale_factor=2, n_feats=16, n_resblocks=1)
+    x = jnp.asarray(np.random.default_rng(1).random((2, 8, 8, 3),
+                                                    np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (2, 16, 16, 3)
+    assert bool(jnp.all(jnp.isfinite(y)))

@@ -328,7 +328,7 @@ def test_edsr_full_model_matches_torch(scale):
         params[f'ResBlock_{i}'] = {'Conv2d_0': _conv(sd, f'body.{i}.body.0'),
                                    'Conv2d_1': _conv(sd, f'body.{i}.body.2')}
     fm = create_model('EDSR', scale_factor=scale, n_feats=n_feats,
-                      n_resblocks=n_resblocks)
+                      n_resblocks=n_resblocks, use_pallas=False)
     ours, theirs = _forward_pair(fm, params, tm)
     np.testing.assert_allclose(ours, theirs, atol=5e-5)
 
@@ -386,6 +386,6 @@ def test_rcan_full_model_matches_torch():
         params[f'ResidualGroup_{g}'] = grp
     fm = create_model('RCAN', scale_factor=scale, n_feats=n_feats,
                       n_resgroups=n_groups, n_resblocks=n_blocks,
-                      reduction=red)
+                      reduction=red, use_pallas=False)
     ours, theirs = _forward_pair(fm, params, tm)
     np.testing.assert_allclose(ours, theirs, atol=5e-5)
