@@ -74,6 +74,8 @@ DEFAULTS: dict[str, Any] = {
         'coordinator_address': None,  # host 0 address (or $SRTPU_COORDINATOR)
         'node_rank': None,          # this host's id (or $SRTPU_NODE_RANK)
         'ckpt_path': None,          # 'last' or a checkpoints dir to resume
+        'gradient_clip_val': None,  # clip grads (reference all.yml knob)
+        'gradient_clip_algorithm': 'norm',   # 'norm' | 'value'
         'detect_anomaly': False,
         'deterministic': False,
         'remat': False,             # gradient checkpointing (HBM saver)
@@ -306,6 +308,9 @@ def build_all(cfg: dict):
         profiler_dir=trainer.get('profiler'),
         log_every_n_steps=trainer.get('log_every_n_steps', 50),
         ckpt_path=trainer.get('ckpt_path'),
+        gradient_clip_val=trainer.get('gradient_clip_val'),
+        gradient_clip_algorithm=trainer.get('gradient_clip_algorithm',
+                                            'norm'),
         detect_anomaly=bool(trainer.get('detect_anomaly', False)),
         deterministic=bool(trainer.get('deterministic', False)),
         remat=bool(trainer.get('remat', False)),

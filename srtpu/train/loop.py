@@ -75,12 +75,37 @@ class TrainerConfig:
     #                                         (reference ItemsProgressBar,
     #                                         train.py:17-81: live items/s)
     ckpt_path: str | None = None            # 'last' or a checkpoints dir
+    gradient_clip_val: float | None = None  # reference Trainer knob
+    #                                         (all.yml gradient_clip_val)
+    gradient_clip_algorithm: str = 'norm'   # 'norm' (global L2) | 'value'
     detect_anomaly: bool = False            # jax_debug_nans (all.yml:81)
     deterministic: bool = False             # fixed seeds everywhere
     remat: bool = False                     # jax.checkpoint the forward
     predict_tile: int = 0                   # >0: tile huge predict images
     predict_tile_overlap: int = 32          # LR px, >= receptive radius
     steps_per_execution: int = 1            # scan k steps per dispatch
+
+
+def _clip_chain(tx, cfg: TrainerConfig):
+    """Prepend gradient clipping to an optimizer chain (reference Trainer
+    knobs gradient_clip_val / gradient_clip_algorithm, configs/all.yml).
+    Applied INSIDE optax.MultiSteps wrapping, so with gradient
+    accumulation the clip acts on the averaged accumulated gradient —
+    the same point Lightning clips at (before optimizer.step)."""
+    import optax
+    val = cfg.gradient_clip_val
+    if not val:
+        return tx
+    algo = (cfg.gradient_clip_algorithm or 'norm').lower()
+    if algo == 'norm':
+        clip = optax.clip_by_global_norm(float(val))
+    elif algo == 'value':
+        clip = optax.clip(float(val))
+    else:
+        raise ValueError(
+            f"gradient_clip_algorithm must be 'norm' or 'value', "
+            f"got {algo!r}")
+    return optax.chain(clip, tx)
 
 
 class Trainer:
@@ -146,6 +171,7 @@ class Trainer:
         composite = parse_losses(losses)
         self._warn_missing_pretrained(composite)
         tx = build_optimizer(optimizer_name, optimizer_params)
+        tx = _clip_chain(tx, cfg)
         if cfg.accumulate_grad_batches > 1:
             tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
 
@@ -192,7 +218,9 @@ class Trainer:
         # before-fit bookkeeping (reference Comet log_code + set_model_graph
         # + param counts, main.py:45-74): source snapshot + model summary
         # land in the run root and the tracker asset list
-        self._log_run_assets(state.params, type(model).__name__)
+        self._log_run_assets(state.params, type(model).__name__,
+                             apply_fn=state.apply_fn, sample=sample_lr,
+                             batch_stats=state.batch_stats)
 
         spe = max(int(cfg.steps_per_execution), 1)
         if cfg.fast_dev_run:
@@ -344,11 +372,17 @@ class Trainer:
             self._record_run_artifacts()
         return state
 
-    def _log_run_assets(self, params, model_name: str) -> None:
-        """Source-code snapshot + model summary (reference Comet
-        ``log_code`` and ``set_model_graph``, main.py:45-74): a zip of the
-        srtpu package and a per-leaf param listing, written to the run
-        root and registered as tracker assets."""
+    def _log_run_assets(self, params, model_name: str,
+                        apply_fn=None, sample=None,
+                        batch_stats=None) -> None:
+        """Source-code snapshot + model summary + model graph (reference
+        Comet ``log_code`` and ``set_model_graph`` main.py:45-74, TB
+        ``log_graph`` via example_input_array srmodel.py:105-108): a zip
+        of the srtpu package, a per-leaf param listing, and — when the
+        forward is provided — the StableHLO text of the traced forward
+        (the XLA-native model graph, same artifact as
+        ``srtpu export --mlir``), written to the run root and registered
+        as tracker assets."""
         try:
             lines = [f'model: {model_name}', '']
             total = 0
@@ -373,6 +407,17 @@ class Trainer:
                 for f in sorted(pkg.parent.glob('native/*.cc')):
                     zf.write(f, f'native/{f.name}')
             self.tb.asset(snap)
+
+            if apply_fn is not None and sample is not None:
+                variables = {'params': params}
+                if batch_stats:
+                    variables['batch_stats'] = batch_stats
+                graph = jax.jit(
+                    lambda v, x: apply_fn(v, x, train=False)).lower(
+                        variables, sample).as_text('stablehlo')
+                graph_path = self.root / 'model_graph.stablehlo.txt'
+                graph_path.write_text(graph)
+                self.tb.asset(graph_path)
         except Exception:  # bookkeeping must never kill training
             _logger.warning('run-asset logging failed', exc_info=True)
 
@@ -468,6 +513,7 @@ class Trainer:
                 + '=' * 66)
 
         g_tx, d_tx = steplr_adam(lr), steplr_adam(lr)
+        g_tx, d_tx = _clip_chain(g_tx, cfg), _clip_chain(d_tx, cfg)
         if cfg.accumulate_grad_batches > 1:
             # same accumulation semantics as the scalar fit path
             # (reference all.yml:65): params move every k batches
@@ -510,8 +556,16 @@ class Trainer:
             _logger.log(PRINT, 'resumed GAN from %s at epoch %d (step %d)',
                         ckpt_dir, start_epoch, self.global_step)
 
-        self._log_run_assets({'generator': gstate.g_params,
-                              'discriminator': gstate.d_params}, 'SRGAN')
+        self._log_run_assets(
+            {'generator': gstate.g_params,
+             'discriminator': gstate.d_params}, 'SRGAN',
+            # graph asset: the generator forward (the serving graph)
+            apply_fn=lambda v, x, train=False: gstate.g_apply(
+                {'params': v['params']['generator'],
+                 **({'batch_stats': v['batch_stats']}
+                    if 'batch_stats' in v else {})}, x, train=train),
+            sample=jnp.asarray(train_loader.peek().lr),
+            batch_stats=gstate.g_batch_stats)
         if self.mesh is not None:
             from srtpu.parallel import replicate_state
             gstate = replicate_state(self.mesh, gstate)

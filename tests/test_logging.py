@@ -83,6 +83,12 @@ def test_run_assets_written_on_fit(tmp_path):
     assets = json.loads((root / 'assets.json').read_text())
     assert any('model_summary' in a for a in assets)
     assert any('source_snapshot' in a for a in assets)
+    # model graph (reference set_model_graph main.py:45-74 / TB log_graph
+    # srmodel.py:105-108): the forward's StableHLO text is the XLA-native
+    # graph artifact
+    graph = (root / 'model_graph.stablehlo.txt').read_text()
+    assert 'stablehlo' in graph or 'func.func' in graph
+    assert any('model_graph' in a for a in assets)
 
 
 def test_attach_run_log_preserves_app_logging(tmp_path):

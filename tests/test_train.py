@@ -42,6 +42,58 @@ def test_optimizer_params_parsed_and_honored():
     np.testing.assert_allclose(np.asarray(updates['w']), -0.5, rtol=1e-6)
 
 
+def test_gradient_clip_norm_and_value():
+    """gradient_clip_val / gradient_clip_algorithm (reference Trainer
+    knobs, configs/all.yml): 'norm' rescales to the global L2 ball,
+    'value' clamps elementwise — verified against hand-scaled grads
+    through the same SGD chain."""
+    import optax
+    from srtpu.train.loop import _clip_chain
+
+    params = {'w': jnp.zeros((4,)), 'b': jnp.zeros((2,))}
+    g = {'w': jnp.asarray([3.0, 0.0, 0.0, 0.0]),
+         'b': jnp.asarray([0.0, 4.0])}          # global norm 5
+
+    cfg = TrainerConfig(gradient_clip_val=1.0)
+    tx = _clip_chain(optax.sgd(1.0), cfg)
+    upd, _ = tx.update(g, tx.init(params), params)
+    # norm mode: update == -g / 5 (rescaled onto the unit ball)
+    np.testing.assert_allclose(np.asarray(upd['w']),
+                               [-0.6, 0, 0, 0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(upd['b']), [0, -0.8], rtol=1e-6)
+
+    cfg = TrainerConfig(gradient_clip_val=1.0,
+                        gradient_clip_algorithm='value')
+    tx = _clip_chain(optax.sgd(1.0), cfg)
+    upd, _ = tx.update(g, tx.init(params), params)
+    np.testing.assert_allclose(np.asarray(upd['w']), [-1, 0, 0, 0])
+    np.testing.assert_allclose(np.asarray(upd['b']), [0, -1])
+
+    with pytest.raises(ValueError):
+        _clip_chain(optax.sgd(1.0),
+                    TrainerConfig(gradient_clip_val=1.0,
+                                  gradient_clip_algorithm='bogus'))
+
+
+def test_gradient_clip_applies_to_accumulated_mean():
+    """With gradient accumulation the clip must act on the AVERAGED
+    accumulated gradient (Lightning clips before optimizer.step), not
+    per micro-batch: two grads of norm 4 and 0 average to norm 2, which
+    a clip at 1.0 rescales by 1/2 — a per-micro-batch clip would have
+    produced mean(clip(4), clip(0)) = 0.5 instead."""
+    import optax
+    from srtpu.train.loop import _clip_chain
+
+    params = {'w': jnp.zeros((1,))}
+    cfg = TrainerConfig(gradient_clip_val=1.0)
+    tx = optax.MultiSteps(_clip_chain(optax.sgd(1.0), cfg), 2)
+    st = tx.init(params)
+    upd, st = tx.update({'w': jnp.asarray([4.0])}, st, params)
+    np.testing.assert_allclose(np.asarray(upd['w']), [0.0])   # mid-accum
+    upd, st = tx.update({'w': jnp.asarray([0.0])}, st, params)
+    np.testing.assert_allclose(np.asarray(upd['w']), [-1.0], rtol=1e-6)
+
+
 def test_all_optimizers_step():
     for name in ('ADAM', 'SGD', 'RMSprop', 'Ranger', 'RangerQH', 'RangerVA'):
         tx = build_optimizer(name, ['lr=1e-2'])
