@@ -11,11 +11,13 @@ CONFIG ?= configs/train_default_sr.yml
 test-devices:
 	$(PY) -c "import jax; [print(d) for d in jax.devices()]"
 
+# FULL lane (overrides pytest.ini's default "not slow" filter)
 test:
-	$(PY) -m pytest tests/ -x -q
+	$(PY) -m pytest tests/ -x -q -m "slow or not slow"
 
+# fast lane = the pytest.ini default (~7 min on this 1-core host)
 test-fast:
-	$(PY) -m pytest tests/ -x -q -m "not slow"
+	$(PY) -m pytest tests/ -x -q
 
 train:
 	$(PY) -m srtpu fit --config $(CONFIG) $(ARGS)

@@ -199,6 +199,7 @@ def test_csbn_trunk_cs_matches_fallback(monkeypatch):
                                    err_msg=kk)
 
 
+@pytest.mark.slow
 def test_srresnet_cs_train_step():
     """SRResNet(use_pallas='cs') end-to-end: fit one step, loss finite,
     batch_stats move, eval path runs."""

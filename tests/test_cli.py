@@ -171,6 +171,7 @@ def test_cli_export_roundtrip(tiny_dataset, tmp_path):
     np.testing.assert_allclose(got, want, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_cli_fit_srgan_e2e(tiny_dataset, tmp_path):
     """SRGAN through the real CLI: config layer -> Trainer auto-dispatch
     into the adversarial D/G loop (reference srgan.py capability via

@@ -69,6 +69,7 @@ def ddbpn_pair():
     return x, m_x, vs['params'], m_c, p_cs
 
 
+@pytest.mark.slow
 def test_ddbpn_cs_cross_tree_parity(ddbpn_pair):
     """DDBPN(use_pallas='cs') with converted params == the XLA branch,
     on BOTH the kernel path and the NHWC fallback."""
@@ -92,6 +93,7 @@ def test_ddbpn_cs_cross_tree_parity(ddbpn_pair):
     np.testing.assert_allclose(out_rf, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ddbpn_cs_grads_match_fallback(ddbpn_pair):
     """Kernel-path gradients == fallback gradients on the same params,
     and dead-tap (masked) weight slots get exactly zero gradient."""
@@ -123,6 +125,7 @@ def test_ddbpn_cs_grads_match_fallback(ddbpn_pair):
     assert np.any(ga0[~dead] != 0)
 
 
+@pytest.mark.slow
 def test_ddbpn_cs_train_step():
     """DDBPN(use_pallas='cs') end-to-end: one value_and_grad step,
     finite loss and grads."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from srtpu.losses.vgg import VGGLoss
 from srtpu.models import SRGANDiscriminator, SRGANGenerator
@@ -79,6 +80,7 @@ def test_srgan_generator_output_range():
     assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_trainer_dispatches_srgan(tmp_path):
     """fit() with an SRGAN model runs the adversarial loop end to end and
     writes checkpoints restorable by the standard predict path."""
@@ -126,6 +128,7 @@ def test_trainer_dispatches_srgan(tmp_path):
     assert sr.shape == (1, 16, 16, 3)
 
 
+@pytest.mark.slow
 def test_gan_resume_from_checkpoint(tmp_path):
     """GAN training resumes from 'last' with G/D params + optimizers."""
     from PIL import Image
@@ -168,6 +171,7 @@ def _make_gan_fixture(tmp_path, n_images=4):
     return tmp_path / 'ds'
 
 
+@pytest.mark.slow
 def test_trainer_mesh_gan_fit(tmp_path):
     """Trainer-level GAN fit under a dp+sp mesh: the fused D+G step runs
     SPMD with replicated G/D state and sharded batches (VERDICT round 2:
@@ -195,6 +199,7 @@ def test_trainer_mesh_gan_fit(tmp_path):
     assert (tmp_path / 'run' / 'checkpoints' / 'last').exists()
 
 
+@pytest.mark.slow
 def test_gan_fit_honors_overfit_and_accumulation(tmp_path):
     """_fit_gan must honor overfit_batches and accumulate_grad_batches
     like the scalar fit path (reference all.yml:65,87)."""

@@ -193,6 +193,7 @@ def test_vgg_loss_runs_with_random_weights():
     assert float(loss(sr, hr)) > 0
 
 
+@pytest.mark.slow
 def test_lpips_and_dists_identity():
     from srtpu.losses import DISTS, LPIPS
     x, y = _imgs(shape=(1, 64, 64, 3))

@@ -53,7 +53,14 @@ def test_registry_lists_all_families():
                                   'SRGAN', 'SRResNet', 'WDSR']
 
 
-@pytest.mark.parametrize('name', sorted(SCALES))
+def _slow_if(name, heavy):
+    """Mark heavy parametrizations slow (full lane: make test)."""
+    return pytest.param(name, marks=pytest.mark.slow) if name in heavy \
+        else name
+
+
+@pytest.mark.parametrize(
+    'name', [_slow_if(n, {'DDBPN', 'WDSR', 'RDN'}) for n in sorted(SCALES)])
 def test_model_shapes(name):
     for scale in SCALES[name]:
         model = create_model(name, scale_factor=scale, channels=3,
@@ -214,8 +221,9 @@ def test_rdn_param_count_formula():
     assert param_count(variables['params']) == total
 
 
-@pytest.mark.parametrize('name', ['WDSR', 'RCAN', 'RDN', 'DDBPN',
-                                  'SRResNet'])
+@pytest.mark.parametrize(
+    'name', [_slow_if(n, {'WDSR', 'RDN'})
+             for n in ['WDSR', 'RCAN', 'RDN', 'DDBPN', 'SRResNet']])
 def test_gradients_flow_all_models(name):
     model = create_model(name, scale_factor=2, channels=3,
                          **SMALL.get(name, {}))

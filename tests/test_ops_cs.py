@@ -126,6 +126,7 @@ def test_cs_plan_refuses_unaligned_lanes():
     assert cs_plan((16, 32, 32, 64)) == (4, 4)
 
 
+@pytest.mark.slow
 def test_trunk_cs_matches_blockwise(data):
     """trunk_cs (stacked weights, trunk-level VJP) == sequential
     resblock_cs, values and gradients."""
@@ -162,6 +163,7 @@ def test_trunk_cs_matches_blockwise(data):
         np.testing.assert_allclose(a, b, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_resgroup_ca_cs_matches_xla(data):
     """RCAN residual group (fused pairs + CS-layout channel attention,
     group-level VJP with hand-derived CA gradients) vs plain XLA math."""
@@ -211,6 +213,7 @@ def test_resgroup_ca_cs_matches_xla(data):
         np.testing.assert_allclose(a, b, atol=2e-3, err_msg=nm)
 
 
+@pytest.mark.slow
 def test_rcan_cs_matches_default():
     """RCAN(use_pallas='cs') == the XLA branch given identical params."""
     from srtpu.models import create_model
@@ -262,6 +265,7 @@ def test_rcan_cs_matches_default():
     np.testing.assert_allclose(out_cs, out_ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_upsample_cs_matches_conv_plus_shuffle():
     """Fused CS conv+pixel-shuffle == XLA conv + torch-order shuffle,
     values and gradients, for r=2 and r=3."""
@@ -311,6 +315,7 @@ def test_upsample_cs_matches_conv_plus_shuffle():
 # hw=8 x4 case being vacuous).
 @pytest.mark.parametrize('scale,n,hw', [(2, 16, 8), (3, 64, 8), (4, 16, 16),
                                         (8, 16, 16)])
+@pytest.mark.slow
 def test_cs_tail_phase_major_matches_fallback(monkeypatch, scale, n, hw):
     """CSUpscaleTail's CS path (phase-major last stage + phase-dense
     coarse final conv, pixel shuffle absorbed into the weights) vs its
@@ -356,6 +361,7 @@ def test_cs_tail_phase_major_matches_fallback(monkeypatch, scale, n, hw):
 
 
 @pytest.mark.parametrize('trunk', ['cs', 'cs2'])
+@pytest.mark.slow
 def test_rdn_trunk_cs_matches_xla(data, trunk):
     """RDN dense blocks vs plain XLA math: values and every gradient.
     'cs' = per-layer kernels (round 2); 'cs2' = fused whole-RDB kernels
@@ -444,6 +450,7 @@ def test_wide_cin_conv_bwd_chunked():
     np.testing.assert_allclose(gx, nhwc_to_cs(gx_ref, k), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_rdn_cs_matches_default(monkeypatch):
     """RDN(use_pallas='cs') == RDN(use_pallas=False) given identical
     params ('cs' is the model default since round 3)."""
@@ -633,6 +640,7 @@ def test_wdsr_model_cs_matches_xla_fallback():
                                np.asarray(y_fallback), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_trunk_mega_matches_trunk(data):
     """Mega-trunk (one pallas_call per direction, grid (G, L)) is
     value- and gradient-identical to the per-block trunk_cs."""
@@ -747,6 +755,7 @@ def test_phase_dense_general(fk, r):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cs_upscale_tail_srresnet_parity(monkeypatch):
     """CSUpscaleTail(act=PReLU, final_ksize=9) — the SRResNet tail — CS
     kernel path == XLA fallback on the same params, fwd + grads (two-stage
@@ -807,6 +816,7 @@ def test_cs_trunk_wide_channels_use_xla_fallback(monkeypatch):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_cs_trunk_per_block_budget_fallback(monkeypatch):
     """Over the mega accumulator budget the trunk routes to the per-block
     trunk_cs path — identical math, block-sized working sets."""
@@ -932,6 +942,7 @@ def test_padded_trunk_matches_xla(pad_data, mega):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_padded_tail_x3_matches_xla_fallback(monkeypatch):
     """CSUpscaleTail at scale 3 on a lane-unaligned shape (the canonical
     x3 recipe class: S never 128-aligned) takes the dead-lane padded

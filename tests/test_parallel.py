@@ -49,6 +49,7 @@ def test_mesh_shapes(mesh8):
     assert mesh8.devices.size == 8
 
 
+@pytest.mark.slow
 def test_cs_kernel_path_matches_single_under_mesh(mesh8):
     """EDSR(use_pallas='cs') under the dp+sp mesh == single device.
 
@@ -309,6 +310,7 @@ def test_spatially_sharded_large_image_predict(mesh8):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gan_step_under_mesh_matches_single(mesh8):
     """The fused D+G adversarial step computes the same update data-parallel
     as on a single device (VERDICT round 1: SRGAN silently trained on the
