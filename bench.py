@@ -41,7 +41,6 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import threading
 import time
 from pathlib import Path
@@ -78,6 +77,11 @@ CONFIGS = [
     # round-3 phase-major back-projections: 9.6 vs 29.6 ms/step XLA
     {'name': 'DDBPN', 'model': 'DDBPN', 'headline': False,
      'kwargs': dict(use_pallas='cs')},
+    # round-4 dead-lane padded x3 tail (42x42 LR, S=3528->3712):
+    # 3.65 vs 4.97 ms/step XLA (PERF.md scale table)
+    {'name': 'EDSR-x3', 'model': 'EDSR', 'headline': False,
+     'kwargs': dict(n_feats=64, n_resblocks=16, use_pallas='cs',
+                    scale_factor=3)},
 ]
 
 
