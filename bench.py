@@ -22,7 +22,10 @@ carries all rows measured so far. Two guards:
   burns the whole driver timeout in silence.
 * wall-clock budget: configs after the headline are skipped once
   ``SRTPU_BENCH_BUDGET_S`` (default 1500 s) has elapsed, recorded in a
-  ``skipped`` field rather than overrunning into rc=124.
+  ``skipped`` field rather than overrunning into rc=124. Configs with a
+  known large worst-case cost declare ``cost_s`` and are skipped
+  individually when the remaining budget can't absorb it (SRGAN's cold
+  XLA compile is ~600 s; on a warm persistent cache it's near-free).
 
 Measurement notes (important on remote-attached TPUs): ``block_until_ready``
 does not reliably wait for remote execution on tunneled backends, so the
@@ -64,6 +67,12 @@ BUDGET_S = float(os.environ.get('SRTPU_BENCH_BUDGET_S', '1500'))
 CONFIGS = [
     {'name': 'EDSR-baseline', 'model': 'EDSR', 'headline': True,
      'kwargs': dict(n_feats=64, n_resblocks=16, use_pallas='cs')},
+    # the two honest XLA rows (measured negatives for CS kernels,
+    # PERF.md): cheapest compiles, so tight budgets still get 8/8
+    {'name': 'SRCNN', 'model': 'SRCNN', 'headline': False,
+     'kwargs': dict()},
+    {'name': 'WDSR-B', 'model': 'WDSR', 'headline': False,
+     'kwargs': dict()},
     # round-3 CS tail (9x9 output conv as 5x5 phase-dense coarse conv):
     # 2.81 vs 6.95 ms/step XLA (PERF.md)
     {'name': 'SRResNet', 'model': 'SRResNet', 'headline': False,
@@ -82,17 +91,33 @@ CONFIGS = [
     {'name': 'EDSR-x3', 'model': 'EDSR', 'headline': False,
      'kwargs': dict(n_feats=64, n_resblocks=16, use_pallas='cs',
                     scale_factor=3)},
+    # last: the full adversarial D+G step (reference objective,
+    # tools/bench_gan.py shapes) — near-free on a warm persistent cache
+    # but ~600 s XLA compile cold, so cost_s makes the budget guard skip
+    # it unless that worst case still fits
+    {'name': 'SRGAN', 'model': 'SRGAN', 'headline': False,
+     'kwargs': dict(), 'builder': 'gan', 'loss_key': 'g_loss',
+     'cost_s': 700},
 ]
+
+
+_BASELINE = None
+
+
+def _baseline_value():
+    global _BASELINE
+    if _BASELINE is None:
+        p = Path(__file__).parent / 'bench_baseline.json'
+        _BASELINE = (json.loads(p.read_text()).get('value') or 0) \
+            if p.exists() else 0
+    return _BASELINE
 
 
 def emit(headline, rows, skipped, note=None):
     """Print one complete, flushed JSON snapshot line (the contract)."""
-    baseline_path = Path(__file__).parent / 'bench_baseline.json'
     vs_baseline = 1.0
-    if headline and baseline_path.exists():
-        base = json.loads(baseline_path.read_text()).get('value')
-        if base:
-            vs_baseline = headline / base
+    if headline and _baseline_value():
+        vs_baseline = headline / _baseline_value()
     out = {
         'metric': 'EDSR-baseline x4 train throughput (b16 p128, bf16)',
         'value': round(headline, 2) if headline else None,
@@ -162,19 +187,42 @@ def build(model_name: str, kwargs: dict):
     return state, step, lr_img, hr_img
 
 
-def measure(model_name: str, kwargs: dict) -> float:
-    state, step, lr_img, hr_img = build(model_name, kwargs)
+def build_gan(kwargs: dict):
+    """SRGAN D+G adversarial step, exact tools/bench_gan.py shapes so a
+    prior bench_gan run's persistent-cache entry is reused."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srtpu.models.srgan import SRGANDiscriminator, SRGANGenerator
+    from srtpu.train.gan import create_gan_state, make_gan_train_step
+
+    gen = SRGANGenerator(scale_factor=SCALE, dtype=jnp.bfloat16, **kwargs)
+    disc = SRGANDiscriminator(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    lp = PATCH // SCALE
+    lr_img = jnp.asarray(rng.random((BATCH, lp, lp, 3), np.float32))
+    hr_img = jnp.asarray(rng.random((BATCH, PATCH, PATCH, 3), np.float32))
+    state = create_gan_state(gen, disc, jax.random.PRNGKey(0), lr_img)
+    return state, make_gan_train_step(), lr_img, hr_img
+
+
+def measure(cfg: dict) -> float:
+    builder = build_gan if cfg.get('builder') == 'gan' else \
+        lambda kw: build(cfg['model'], kw)
+    state, step, lr_img, hr_img = builder(cfg['kwargs'])
+    loss_key = cfg.get('loss_key', 'loss')
 
     # compile + first sync
     state, logs = step(state, lr_img, hr_img)
-    float(logs['loss'])
+    float(logs[loss_key])
 
     def window(n):
         nonlocal state
         t0 = time.perf_counter()
         for _ in range(n):
             state, logs = step(state, lr_img, hr_img)
-        float(logs['loss'])  # value fetch = true device sync
+        float(logs[loss_key])  # value fetch = true device sync
         return time.perf_counter() - t0
 
     window(5)  # steady-state warmup
@@ -192,20 +240,27 @@ def main():
 
     rows = []
     headline = None
+    skipped = []
     for i, cfg in enumerate(CONFIGS):
         elapsed = time.monotonic() - t0
         if not cfg['headline'] and elapsed > BUDGET_S:
-            skipped = [c['name'] for c in CONFIGS[i:]]
+            skipped += [c['name'] for c in CONFIGS[i:]]
             emit(headline, rows, skipped,
                  note=f'budget {BUDGET_S:.0f}s exhausted at {elapsed:.0f}s')
             return
+        # per-config worst-case cost guard: a config whose cold compile
+        # could not finish inside the budget is skipped individually
+        if not cfg['headline'] and elapsed + cfg.get('cost_s', 0) > BUDGET_S:
+            skipped.append(cfg['name'])
+            emit(headline, rows, skipped)
+            continue
         try:
-            pps = measure(cfg['model'], cfg['kwargs'])
+            pps = measure(cfg)
         except Exception as exc:  # one bad config must not lose the rest
             rows.append({'model': cfg['name'], 'value': None,
                          'unit': 'patches/sec/chip',
                          'error': f'{type(exc).__name__}: {exc}'[:200]})
-            emit(headline, rows, [])
+            emit(headline, rows, skipped)
             continue
         rows.append({'model': cfg['name'], 'value': round(pps, 2),
                      'unit': 'patches/sec/chip'})
@@ -213,7 +268,7 @@ def main():
             headline = pps
         # flush a full cumulative snapshot the moment each row lands —
         # a later hang/timeout can no longer erase measured results
-        emit(headline, rows, [])
+        emit(headline, rows, skipped)
 
 
 if __name__ == '__main__':

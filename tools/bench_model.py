@@ -27,7 +27,7 @@ def main():
         kwargs[key] = yaml.safe_load(val)
     import time
     t0 = time.time()
-    pps = bench.measure(model, kwargs)
+    pps = bench.measure({'model': model, 'kwargs': kwargs})
     print(f'{model} {kwargs}: {pps:.1f} patches/s '
           f'({bench.BATCH / pps * 1e3:.2f} ms/step) '
           f'[total incl. compile {time.time() - t0:.0f}s]')
