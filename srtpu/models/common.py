@@ -481,7 +481,8 @@ class CSUpscaleTail(nn.Module):
         then skips a CS->NHWC->CS round trip."""
         from srtpu.ops.cs_conv import (conv3x3_cs, conv3x3_cs_pre, cs_plan,
                                        cs_plan_pad, cs_regroup, cs_to_nhwc,
-                                       nhwc_to_cs, pm_to_nhwc, upsample_cs,
+                                       nhwc_to_cs, phase_dense_ck,
+                                       pm_to_nhwc, upsample_cs,
                                        w_hwio_from_cs, w_phase_dense,
                                        w_pm_cs)
         n, fk = self.n_feats, self.final_ksize
@@ -524,13 +525,12 @@ class CSUpscaleTail(nn.Module):
         plan = cs_plan((b, h, w, n)) if n <= 96 else None
         s_pad = s_valid = None
         # the phase-dense final conv's COARSE tap span (w_phase_dense ck):
-        # the dead-lane padded path requires ck <= 3 (cs_plan_pad's
-        # one-dead-row guarantee covers only dy = +/-1 taps)
-        hw_f = fk // 2
-        r_last = rs[-1]
-        ck = (r_last - 1 + hw_f) // r_last \
-            + (hw_f // r_last) + (1 if hw_f % r_last else 0) + 1
-        if plan is None and n <= 96 and len(rs) == 1 and ck <= 3:
+        # the dead-lane padded path requires ck == 3 exactly — cs_plan_pad's
+        # one-dead-row guarantee covers only dy = +/-1 taps, and the
+        # kernels reject s_valid with any other kk (a fk=1 tail computes
+        # ck=1 and must fall back to XLA, not crash at trace time)
+        ck = phase_dense_ck(fk, rs[-1])
+        if plan is None and n <= 96 and len(rs) == 1 and ck == 3:
             # single-stage tail (x2/x3) on a lane-unaligned S (the
             # canonical scale-3 42x42 LR): dead-lane padded packing —
             # the same cs_plan_pad the trunk uses, so the padded seam

@@ -947,6 +947,16 @@ def w_pm_hwio(w_arr: jax.Array, c: int, r: int) -> jax.Array:
     return jnp.transpose(v, (2, 4, 5, 0, 1, 3)).reshape(3, 3, c, r * r * c)
 
 
+def phase_dense_ck(fk: int, r: int) -> int:
+    """Coarse tap span of ``w_phase_dense`` for a fine fk x fk conv over
+    r x r phases (3 for fk=3; 5 for a 9x9 fine conv at r=2). The single
+    source of truth — CSUpscaleTail's dead-lane-padded gate keys on this
+    value, so it must never drift from w_phase_dense's layout math."""
+    hw = fk // 2
+    lo = -(hw // r) - (1 if hw % r else 0)       # floor(-hw / r)
+    return (r - 1 + hw) // r - lo + 1
+
+
 def w_phase_dense(w_hwio: jax.Array, r: int) -> jax.Array:
     """Fine fkxfk conv HWIO (fk, fk, Cin, ch) -> phase-dense coarse conv
     HWIO (ck, ck, r*r*Cin, CO) consuming/producing phase-major channel
@@ -957,7 +967,7 @@ def w_phase_dense(w_hwio: jax.Array, r: int) -> jax.Array:
     fk, _, cin, ch = w_hwio.shape
     hw = fk // 2
     lo = -(hw // r) - (1 if hw % r else 0)       # floor(-hw / r)
-    ck = (r - 1 + hw) // r - lo + 1
+    ck = phase_dense_ck(fk, r)
     co = -(-r * r * ch // 16) * 16
     wpd = jnp.zeros((ck, ck, r, r, cin, co), w_hwio.dtype)
     for a in range(r):

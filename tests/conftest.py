@@ -14,7 +14,11 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 # kernel test modules opt in (see the `cs_kernels_interpret` autouse
 # fixtures in test_ops_cs/test_bn_cs/test_ddbpn_cs/test_parallel/
 # test_convert_layout). Everything else exercises the off-TPU XLA
-# fallback — the same path CPU users get in production.
+# fallback — the same path CPU users get in production. Clear any
+# inherited value (the pre-round-4 suite exported it globally) so a
+# stale shell export can't drag the whole fast lane through interpret
+# kernels.
+os.environ.pop('SRTPU_CS_OFF_TPU', None)
 _flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (

@@ -942,6 +942,28 @@ def test_padded_trunk_matches_xla(pad_data, mega):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_padded_tail_fk1_falls_back_to_xla(monkeypatch):
+    """final_ksize=1 computes a coarse tap span ck=1; the padded-path gate
+    must NOT admit it (the kernels reject s_valid with kk != 3), so an
+    unaligned shape routes to the XLA fallback instead of crashing at
+    trace time (round-4 review finding)."""
+    import srtpu.ops.cs_conv as cs
+    from srtpu.models.common import CSUpscaleTail
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((4, 6, 6, 64)) * 0.3,
+        jnp.float32)
+    m = CSUpscaleTail(scale_factor=2, n_feats=64, final_ksize=1)
+    p = m.init(jax.random.PRNGKey(0), x)
+    assert cs.cs_plan(x.shape) is None       # unaligned: plain plan fails
+    called = []
+    real = cs.cs_plan_pad
+    monkeypatch.setattr(cs, 'cs_plan_pad',
+                        lambda s: called.append(1) or real(s))
+    out = m.apply(p, x)                      # must not raise
+    assert out.shape == (4, 12, 12, 3)
+    assert not called, 'fk=1 must not consult the padded path (ck != 3)'
+
+
 @pytest.mark.slow
 def test_padded_tail_x3_matches_xla_fallback(monkeypatch):
     """CSUpscaleTail at scale 3 on a lane-unaligned shape (the canonical
