@@ -21,11 +21,13 @@ carries all rows measured so far. Two guards:
   exits — the stuck-TPU / dead-relay mode (CLAUDE.md rule 1) no longer
   burns the whole driver timeout in silence.
 * wall-clock budget: configs after the headline are skipped once
-  ``SRTPU_BENCH_BUDGET_S`` (default 1500 s) has elapsed, recorded in a
+  ``SRTPU_BENCH_BUDGET_S`` (default 1800 s) has elapsed, recorded in a
   ``skipped`` field rather than overrunning into rc=124. Configs with a
   known large worst-case cost declare ``cost_s`` and are skipped
   individually when the remaining budget can't absorb it (SRGAN's cold
-  XLA compile is ~600 s; on a warm persistent cache it's near-free).
+  XLA compile is ~600 s; on a warm persistent cache it's near-free,
+  so its cost_s is set to the expected warm cost, not the cold one —
+  per-row flushing already caps the damage of a late overrun).
 
 Measurement notes (important on remote-attached TPUs): ``block_until_ready``
 does not reliably wait for remote execution on tunneled backends, so the
@@ -58,7 +60,7 @@ REPEATS = 4   # min-of-4 windows: the relay adds ~±2% run-to-run jitter
 #               extra windows cost < 1 s/config and tighten the floor
 
 FAILFAST_S = float(os.environ.get('SRTPU_BENCH_FAILFAST_S', '180'))
-BUDGET_S = float(os.environ.get('SRTPU_BENCH_BUDGET_S', '1500'))
+BUDGET_S = float(os.environ.get('SRTPU_BENCH_BUDGET_S', '1800'))
 
 # use_pallas='cs': transposed channel-sublane kernels — the round-2
 # layout win (66% vs 36% conv MFU at C=64; PERF.md). Ordered headline
@@ -101,9 +103,13 @@ CONFIGS = [
     # tools/bench_gan.py shapes) — near-free on a warm persistent cache
     # but ~600 s XLA compile cold, so cost_s makes the budget guard skip
     # it unless that worst case still fits
+    # cost_s is deliberately BELOW the ~600 s cold-compile worst case:
+    # every row is flushed as measured, so a late overrun can no longer
+    # erase the record — the guard only has to keep the expected case
+    # (warm cache, ~2 min) inside the budget
     {'name': 'SRGAN', 'model': 'SRGAN', 'headline': False,
      'kwargs': dict(), 'builder': 'gan', 'loss_key': 'g_loss',
-     'cost_s': 700, 'expect': 835},
+     'cost_s': 500, 'expect': 835},
 ]
 
 
