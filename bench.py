@@ -16,10 +16,12 @@ whatever the driver captures (first or last JSON line) is valid and
 carries all rows measured so far. Two guards:
 
 * bring-up watchdog: a trivial device op must complete within
-  ``SRTPU_BENCH_FAILFAST_S`` (default 180 s; a healthy tunneled bring-up
-  measures ~65 s) or a diagnostic JSON line is emitted and the process
-  exits — the stuck-TPU / dead-relay mode (CLAUDE.md rule 1) no longer
-  burns the whole driver timeout in silence.
+  ``SRTPU_BENCH_FAILFAST_S`` (default 420 s; a healthy tunneled bring-up
+  measures ~65 s, but a DEGRADED-yet-alive relay was observed taking
+  126-200+ s — the watchdog must out-wait that mode, or it misdiagnoses
+  a slow relay as a dead one) or a diagnostic JSON line is emitted and
+  the process exits — the stuck-TPU / dead-relay mode (CLAUDE.md rule 1)
+  no longer burns the whole driver timeout in silence.
 * wall-clock budget: configs after the headline are skipped once
   ``SRTPU_BENCH_BUDGET_S`` (default 1800 s) has elapsed, recorded in a
   ``skipped`` field rather than overrunning into rc=124. Configs with a
@@ -59,7 +61,7 @@ REPEATS = 4   # min-of-4 windows: the relay adds ~±2% run-to-run jitter
 #               (7.26-7.52k observed on identical EDSR code, PERF.md);
 #               extra windows cost < 1 s/config and tighten the floor
 
-FAILFAST_S = float(os.environ.get('SRTPU_BENCH_FAILFAST_S', '180'))
+FAILFAST_S = float(os.environ.get('SRTPU_BENCH_FAILFAST_S', '420'))
 BUDGET_S = float(os.environ.get('SRTPU_BENCH_BUDGET_S', '1800'))
 
 # use_pallas='cs': transposed channel-sublane kernels — the round-2
