@@ -15,13 +15,14 @@ FULL cumulative JSON snapshot line is printed and flushed to stdout, so
 whatever the driver captures (first or last JSON line) is valid and
 carries all rows measured so far. Two guards:
 
-* bring-up watchdog: a trivial device op must complete within
-  ``SRTPU_BENCH_FAILFAST_S`` (default 420 s; a healthy tunneled bring-up
-  measures ~65 s, but a DEGRADED-yet-alive relay was observed taking
-  126-200+ s — the watchdog must out-wait that mode, or it misdiagnoses
-  a slow relay as a dead one) or a diagnostic JSON line is emitted and
-  the process exits — the stuck-TPU / dead-relay mode (CLAUDE.md rule 1)
-  no longer burns the whole driver timeout in silence.
+* bring-up watchdog: if the first trivial device op hasn't completed
+  within ``SRTPU_BENCH_FAILFAST_S`` (default 420 s; healthy bring-up is
+  ~65 s, the degraded-yet-alive relay mode 126 s to >420 s) a diagnostic
+  JSON line is emitted immediately — then the run KEEPS WAITING, so a
+  late relay revival still produces row snapshots that supersede the
+  diagnostic in last-line-wins driver capture, while a truly dead relay
+  leaves the diagnostic as the parseable record instead of rc=124
+  silence.
 * wall-clock budget: configs after the headline are skipped once
   ``SRTPU_BENCH_BUDGET_S`` (default 1800 s) has elapsed, recorded in a
   ``skipped`` field rather than overrunning into rc=124. Configs with a
@@ -146,19 +147,25 @@ def emit(headline, rows, skipped, note=None):
 
 
 def device_watchdog():
-    """Fail fast if the first device op never completes (dead relay /
-    blocked chip). A healthy tunneled bring-up is ~65 s; after
-    FAILFAST_S we emit a diagnostic snapshot and hard-exit so the
-    driver records a parseable line instead of rc=124 silence."""
+    """Emit a diagnostic snapshot if the first device op hasn't completed
+    within FAILFAST_S (dead/degraded relay or chip held by another
+    process) — but KEEP WAITING. The driver records the LAST complete
+    JSON line, so if the relay revives the later per-row snapshots
+    supersede the diagnostic; if it never does, the diagnostic is the
+    parseable record instead of rc=124 silence. (An earlier design
+    hard-exited here; that both forfeited late revivals — the degraded
+    relay was observed taking 142 s one minute and >420 s the next — and
+    killed the process mid-device-op, the exact CLAUDE.md rule-1 mode
+    that can wedge the NEXT process's bring-up.)"""
     done = threading.Event()
 
     def trip():
         if not done.wait(FAILFAST_S):
             emit(None, [], [c['name'] for c in CONFIGS],
-                 note=f'FAILFAST: first device op incomplete after '
-                      f'{FAILFAST_S:.0f}s — TPU relay dead or chip held '
-                      f'by another process (CLAUDE.md rule 1)')
-            os._exit(3)
+                 note=f'DEGRADED: first device op incomplete after '
+                      f'{FAILFAST_S:.0f}s — TPU relay dead/slow or chip '
+                      f'held by another process (CLAUDE.md rule 1); '
+                      f'still waiting, later snapshots supersede this')
 
     threading.Thread(target=trip, daemon=True).start()
     import jax
