@@ -126,8 +126,31 @@ def _state_to_tree(state) -> dict:
     }
 
 
+def _param_paths(tree) -> set:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path) for path, _ in flat}
+
+
 def _tree_to_state(state, tree: dict):
     import jax.numpy as jnp
+    live, stored = _param_paths(state.params), _param_paths(tree['params'])
+    if live != stored:
+        # the opaque failure mode this catches: a checkpoint trained with
+        # use_pallas=False (per-block HWIO trees) restored into a
+        # default-constructed CS model (stacked CS-arranged weights), or
+        # vice versa — the param trees differ and downstream apply()
+        # errors are unreadable. Name the fix instead.
+        missing = sorted(live - stored)[:3]
+        extra = sorted(stored - live)[:3]
+        raise ValueError(
+            'checkpoint parameter tree does not match the model\'s '
+            f'(checkpoint lacks e.g. {missing}, has e.g. {extra}). '
+            'Most likely the checkpoint was trained with a different '
+            'use_pallas setting than this model (the CS kernel path '
+            "stores stacked CS-arranged weights; use_pallas defaults to "
+            "'cs' on EDSR/SRResNet/RCAN/RDN/DDBPN since round 4). "
+            'Convert it with tools/convert_ckpt_layout.py, or construct '
+            'the model with the checkpoint\'s original use_pallas value.')
     if (jax.tree_util.tree_structure(tree['opt_state'])
             == jax.tree_util.tree_structure(state.opt_state)):
         # template restore preserved the live structure (incl. NamedTuple

@@ -73,14 +73,16 @@ def test_budget_exhaustion_skips_remainder(harness, monkeypatch, capsys):
 def test_cost_guard_skips_expensive_config_only(harness, monkeypatch,
                                                 capsys):
     def measure(cfg):
-        harness['t'] += 200.0
+        harness['t'] += 10.0
         return dict((c['name'], c.get('expect', 1000)) for c
                     in bench.CONFIGS)[cfg['name']]
     monkeypatch.setattr(bench, 'measure', measure)
-    monkeypatch.setattr(bench, 'BUDGET_S', 1700.0)
+    monkeypatch.setattr(bench, 'BUDGET_S', 250.0)
     bench.main()
     last = _snapshots(capsys)[-1]
-    # 8 rows x 200s = 1600s elapsed; SRGAN's cost_s=500 can't fit
+    # cheap rows (10s each) all fit inside 250s, but SRGAN's declared
+    # worst-case cost_s=300 cannot — it is skipped INDIVIDUALLY while
+    # every later config still runs
     assert last['skipped'] == ['SRGAN']
     assert len(last['models']) == len(bench.CONFIGS) - 1
 
@@ -103,6 +105,32 @@ def test_depressed_row_is_remeasured_once(harness, monkeypatch, capsys):
     assert row == 5624.0                          # keeps the better read
     # healthy rows are measured exactly once
     assert calls.count('EDSR-baseline') == 1
+    # selection transparency (ADVICE r4): both readings + the rule
+    row = {r['model']: r for r in last['models']}['SRResNet']
+    assert row['readings'] == [4456.0, 5624.0]
+    assert 'max' in row['selection']
+
+
+def test_retry_failure_keeps_first_reading(harness, monkeypatch, capsys):
+    """ADVICE r4: a relay death mid-retry must not discard the valid
+    first measurement — the row keeps the first pps, not an error."""
+    calls = []
+
+    def measure(cfg):
+        calls.append(cfg['name'])
+        if cfg['name'] == 'SRResNet':
+            if calls.count('SRResNet') == 1:
+                return 4456.0                      # depressed but valid
+            raise RuntimeError('relay died mid-retry')
+        return dict((c['name'], c.get('expect', 1000)) for c
+                    in bench.CONFIGS)[cfg['name']]
+    monkeypatch.setattr(bench, 'measure', measure)
+    bench.main()
+    last = _snapshots(capsys)[-1]
+    row = {r['model']: r for r in last['models']}['SRResNet']
+    assert row['value'] == 4456.0
+    assert 'error' not in row
+    assert len(last['models']) == len(bench.CONFIGS)
 
 
 def test_failing_config_records_error_and_continues(harness, monkeypatch,

@@ -99,3 +99,32 @@ def test_convert_checkpoint_roundtrip(tmp_path):
     y_res = cs_model.apply({'params': restored.params}, x)
     np.testing.assert_allclose(np.asarray(y_src), np.asarray(y_res),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_restore_layout_mismatch_names_the_converter(tmp_path):
+    """Restoring an XLA-layout checkpoint into a CS-default model must
+    raise a readable error naming tools/convert_ckpt_layout.py instead of
+    an opaque downstream pytree/apply failure (ADVICE r4)."""
+    from srtpu.checkpoint import CheckpointManager
+    from srtpu.losses import parse_losses
+    from srtpu.optim import build_optimizer
+    from srtpu.train import create_train_state
+
+    xla_model, cs_model = _models()
+    x = jnp.asarray(np.random.default_rng(3).random((2, 12, 12, 3),
+                                                    np.float32))
+    composite = parse_losses('l1')
+    tx = build_optimizer('ADAM', ['lr=1e-3'])
+    s_xla = create_train_state(xla_model, tx, jax.random.PRNGKey(4), x,
+                               composite)
+    src = tmp_path / 'ckpt'
+    mngr = CheckpointManager(src, monitor='')
+    mngr.save(1, s_xla, {})
+    mngr.close()
+
+    s_cs = create_train_state(cs_model, tx, jax.random.PRNGKey(5), x,
+                              composite)
+    mngr2 = CheckpointManager(src, monitor='')
+    with pytest.raises(ValueError, match='convert_ckpt_layout'):
+        mngr2.restore_last(s_cs)
+    mngr2.close()
