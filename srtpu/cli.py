@@ -200,7 +200,7 @@ def _restore(checkpoint_dir: str, cfg_overrides):
         state = mngr.restore(state)
     finally:
         mngr.close()
-    return state, hp, data
+    return state, hp, data, model
 
 
 def cmd_validate(args) -> int:
@@ -211,7 +211,7 @@ def cmd_validate(args) -> int:
     cfg = load_config(args.config, args.overrides)
     _setup(cfg)
     _init_multihost(cfg)
-    state, hp, data = _restore(args.checkpoint, args.overrides)
+    state, hp, data, model = _restore(args.checkpoint, args.overrides)
     dm = SRData(**{k: v for k, v in data.items()
                    if k in ('augment', 'batch_size', 'datasets_dir',
                             'eval_datasets', 'patch_size',
@@ -227,7 +227,7 @@ def cmd_validate(args) -> int:
     mesh, _ = _make_mesh_and_sharding(cfg, for_fit=False)
     trainer = Trainer(tcfg, mesh=mesh)
     try:
-        metrics = trainer.validate(state, dm)
+        metrics = trainer.validate(state, dm, model=model)
     finally:
         trainer.close()
     for k, v in sorted(metrics.items()):
@@ -243,7 +243,7 @@ def cmd_predict(args) -> int:
     cfg = load_config(args.config, args.overrides)
     _setup(cfg)
     _init_multihost(cfg)
-    state, hp, data = _restore(args.checkpoint, args.overrides)
+    state, hp, data, model = _restore(args.checkpoint, args.overrides)
     predict_datasets = (cfg['data'].get('predict_datasets')
                         or data.get('predict_datasets', []))
     if not predict_datasets:
@@ -259,7 +259,7 @@ def cmd_predict(args) -> int:
     mesh, _ = _make_mesh_and_sharding(cfg, for_fit=False)
     trainer = Trainer(tcfg, mesh=mesh)
     try:
-        trainer.predict(state, dm)
+        trainer.predict(state, dm, model=model)
     finally:
         trainer.close()
     return 0
@@ -281,7 +281,7 @@ def cmd_export(args) -> int:
     import jax.numpy as jnp
     from jax import export as jax_export
 
-    state, hp, data = _restore(args.checkpoint, args.overrides)
+    state, hp, data, model = _restore(args.checkpoint, args.overrides)
     scale = int(data.get('scale_factor', 4))
     h, w = (int(v) for v in args.size.lower().split('x'))
 

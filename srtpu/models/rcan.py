@@ -11,7 +11,7 @@ srtpu.ops.ca_layer used on the training hot path.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, ClassVar
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -159,6 +159,12 @@ def _u_init(bound):
 
 
 class RCAN(nn.Module):
+    # channel attention pools over the WHOLE image (reference
+    # rcan.py:10-29 AdaptiveAvgPool2d(1)): a tile-batched forward would
+    # gate on per-tile statistics — different semantics, not a seam
+    # effect — so the Trainer's tiled eval/predict path excludes RCAN.
+    GLOBAL_POOLING: ClassVar[bool] = True
+
     scale_factor: int = 4
     channels: int = 3
     n_feats: int = 64

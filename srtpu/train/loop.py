@@ -84,6 +84,21 @@ class TrainerConfig:
     predict_tile: int = 0                   # >0: tile huge predict images
     predict_tile_overlap: int = 32          # LR px, >= receptive radius
     steps_per_execution: int = 1            # scan k steps per dispatch
+    eval_tile: int = 64                     # tile-batched kernel-path eval/
+    #                                         predict on TPU for CS models:
+    #                                         full-size images run the CS
+    #                                         Pallas kernels in fixed-shape
+    #                                         tile batches instead of the
+    #                                         XLA fallback (train/tiled.py).
+    #                                         0 disables (plain full-image
+    #                                         forward, reference behavior)
+    eval_tile_overlap: int = 8              # LR px halo per tile edge; the
+    #                                         seam error vs a full-image
+    #                                         forward is bounded and
+    #                                         measured (PERF.md serving
+    #                                         section); raise towards the
+    #                                         receptive radius for exact
+    #                                         interiors at more recompute
 
 
 def _clip_chain(tx, cfg: TrainerConfig):
@@ -244,7 +259,8 @@ class Trainer:
                 from .steps import make_multi_train_step
                 multi_step = make_multi_train_step(composite, spe,
                                                    remat=cfg.remat)
-        eval_step = self._make_eval_step(build_metrics(list(cfg.metrics)))
+        eval_step = self._make_eval_step(build_metrics(list(cfg.metrics)),
+                                         model=model)
         self._edge_ops = [s.name for s in composite.sub_losses
                           if s.name in ('edge_loss', 'pencil_sketch')]
         self._saved_hr_versions: set[str] = set()
@@ -674,15 +690,61 @@ class Trainer:
             'reference. Convert weights with tools/convert_torch_weights.py '
             'into $SRTPU_WEIGHTS_DIR.\n' + '=' * 66, ', '.join(missing))
 
-    def _make_eval_step(self, metrics):
+    def _make_eval_step(self, metrics, model=None):
         """Single-device eval step, or the row-sharded parallel one when a
         mesh is configured (the product path for trainer.devices /
         spatial_devices — full-res images split across the mesh; reference
-        behavior: DDP uniform across fit/validate/predict, all.yml:125)."""
+        behavior: DDP uniform across fit/validate/predict, all.yml:125).
+
+        When ``model`` is given and the tile-batched kernel path applies
+        (TPU + CS model + eval_tile > 0), full-size images route through
+        make_tiled_eval_step so the CS Pallas kernels run on the eval hot
+        loop too (VERDICT r4 #1) — per-shape routing keeps small/aligned
+        images on the direct path where CS engages without tiling."""
         if self.mesh is not None:
             from srtpu.parallel import make_parallel_eval_step
             return make_parallel_eval_step(metrics, self.mesh)
-        return make_eval_step(metrics)
+        plain = make_eval_step(metrics)
+        gate = self._tiled_gate(model)
+        if gate is None:
+            return plain
+        from .steps import make_tiled_eval_step
+        scale, tile, overlap = gate
+        tiled = make_tiled_eval_step(metrics, scale, tile, overlap)
+
+        def eval_step(state, lr_img, hr_img, mask):
+            if self._route_tiled(model, lr_img.shape):
+                return tiled(state, lr_img, hr_img, mask)
+            return plain(state, lr_img, hr_img, mask)
+
+        return eval_step
+
+    def _tiled_gate(self, model):
+        """(scale, tile, overlap) when tile-batched kernel-path eval/predict
+        applies to this model+backend+config, else None. Models with
+        global spatial pooling (RCAN's channel attention pools per image)
+        are excluded: their tile forward would gate on per-tile statistics
+        — different semantics, not just a seam effect."""
+        cfg = self.cfg
+        if (model is None or cfg.eval_tile <= 0
+                or getattr(model, 'use_pallas', None) != 'cs'
+                or getattr(model, 'GLOBAL_POOLING', False)):
+            return None
+        from srtpu.ops.cs_conv import _cs_backend_ok
+        if not _cs_backend_ok():
+            return None
+        return (model.scale_factor, cfg.eval_tile, cfg.eval_tile_overlap)
+
+    def _route_tiled(self, model, lr_shape) -> bool:
+        """Tile only shapes that are (a) too big for ANY direct CS plan and
+        (b) actually bigger than the lane budget — small off-plan images
+        stay on the direct (XLA) path where padding waste isn't worth it."""
+        from srtpu.ops.cs_conv import S_MAX, cs_plan, cs_plan_pad
+        b, h, w, _ = lr_shape
+        trunk = (b, h, w, getattr(model, 'n_feats', 64))
+        if cs_plan(trunk) is not None or cs_plan_pad(trunk) is not None:
+            return False
+        return h * w > S_MAX
 
     def _put_eval_batch(self, *arrays):
         if self.mesh is not None:
@@ -790,8 +852,9 @@ class Trainer:
 
     # -------------------------------------------------------------- predict
 
-    def predict(self, state: TrainState, datamodule) -> None:
+    def predict(self, state: TrainState, datamodule, model=None) -> None:
         datamodule.setup('predict')
+        tiled_step = None
         if self.mesh is not None:
             from srtpu.parallel import (make_parallel_predict_step,
                                         replicate_state)
@@ -799,6 +862,11 @@ class Trainer:
             predict_step = make_parallel_predict_step(self.mesh)
         else:
             predict_step = make_predict_step()
+            gate = self._tiled_gate(model)
+            if gate is not None:
+                from .steps import make_tiled_predict_step
+                g_scale, g_tile, g_ov = gate
+                tiled_step = make_tiled_predict_step(g_scale, g_tile, g_ov)
         tile = self.cfg.predict_tile
         overlap = self.cfg.predict_tile_overlap
         scale = datamodule._scale
@@ -808,7 +876,21 @@ class Trainer:
             for batch in loader:
                 lr_np = np.asarray(batch.lr)
                 hs, ws = batch.hr_size
-                if tile and min(lr_np.shape[1], lr_np.shape[2]) > tile:
+                if tiled_step is not None and \
+                        self._route_tiled(model, lr_np.shape):
+                    # kernel-path predict: in-jit tile batches. LR shapes
+                    # are bucket-padded (edge mode) to eval_tile multiples
+                    # so heterogeneous predict sets compile one program
+                    # per bucket, not per image.
+                    g = self.cfg.eval_tile
+                    lh, lw = hs // scale, ws // scale
+                    src = lr_np[:, :lh, :lw]
+                    ph, pw = -(-lh // g) * g, -(-lw // g) * g
+                    src = np.pad(src, ((0, 0), (0, ph - lh), (0, pw - lw),
+                                       (0, 0)), mode='edge')
+                    sr = tiled_step(state, jnp.asarray(src))
+                    sr_np = np.asarray(sr)[0, :hs, :ws]
+                elif tile and min(lr_np.shape[1], lr_np.shape[2]) > tile:
                     # huge image: fixed-shape overlapping tiles (one compile
                     # per tile shape, bounded memory — srtpu.train.tiled)
                     from .tiled import tiled_predict
@@ -833,13 +915,14 @@ class Trainer:
                              hs, ws)
 
     def validate(self, state: TrainState, datamodule,
-                 metrics: tuple[str, ...] | None = None) -> dict[str, float]:
+                 metrics: tuple[str, ...] | None = None,
+                 model=None) -> dict[str, float]:
         datamodule.setup('validate')
         if self.mesh is not None:
             from srtpu.parallel import replicate_state
             state = replicate_state(self.mesh, state)
         eval_step = self._make_eval_step(
-            build_metrics(list(metrics or self.cfg.metrics)))
+            build_metrics(list(metrics or self.cfg.metrics)), model=model)
         self._edge_ops = []
         self._saved_hr_versions = set()
         return self._run_validation(state, eval_step, datamodule)

@@ -103,43 +103,90 @@ def make_multi_train_step(composite_loss, steps_per_execution: int,
     return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(metrics: dict[str, Callable]):
-    """Build eval_step(state, lr, hr, mask) -> (sr, {metric: value}).
+def _metric_results(metrics: dict[str, Callable], sr, hr_img, mask):
+    """Clamp SR/HR to [0,1] (srmodel.py:224-225) and compute the masked
+    metric dict; padded pixels are excluded via the mask so bucketed
+    shapes score like the originals."""
+    sr = jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
+    hr = jnp.clip(hr_img.astype(jnp.float32), 0.0, 1.0)
+    results = {}
+    for name, fn in metrics.items():
+        if name in NO_REFERENCE:
+            # no-reference metrics see the edge-padded SR here (static
+            # bucket shapes inside jit); the Trainer overwrites BRISQUE
+            # with the exact unpadded-shape value after the step
+            # (srtpu.metrics.brisque_exact) — padding shifts the score
+            # by up to ~8 points on small images (tests/test_metrics.py)
+            results[name] = fn(sr)
+        else:
+            results[name] = fn(sr, hr, mask=mask)
+    return sr, results
 
-    SR and HR are clamped to [0,1] before metrics (srmodel.py:224-225);
-    padded pixels are excluded via the mask (mask-aware metrics) so bucketed
-    shapes score like the originals.
-    """
+
+def _variables(state: TrainState) -> dict:
+    variables = {'params': state.params}
+    if state.batch_stats:
+        variables['batch_stats'] = state.batch_stats
+    return variables
+
+
+def make_eval_step(metrics: dict[str, Callable]):
+    """Build eval_step(state, lr, hr, mask) -> (sr, {metric: value})."""
 
     def eval_step(state: TrainState, lr_img, hr_img, mask):
-        variables = {'params': state.params}
-        if state.batch_stats:
-            variables['batch_stats'] = state.batch_stats
-        sr = state.apply_fn(variables, lr_img, train=False)
-        sr = jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
-        hr = jnp.clip(hr_img.astype(jnp.float32), 0.0, 1.0)
-        results = {}
-        for name, fn in metrics.items():
-            if name in NO_REFERENCE:
-                # no-reference metrics see the edge-padded SR here (static
-                # bucket shapes inside jit); the Trainer overwrites BRISQUE
-                # with the exact unpadded-shape value after the step
-                # (srtpu.metrics.brisque_exact) — padding shifts the score
-                # by up to ~8 points on small images (tests/test_metrics.py)
-                results[name] = fn(sr)
-            else:
-                results[name] = fn(sr, hr, mask=mask)
-        return sr, results
+        sr = state.apply_fn(_variables(state), lr_img, train=False)
+        return _metric_results(metrics, sr, hr_img, mask)
 
     return jax.jit(eval_step)
 
 
+def make_tiled_eval_step(metrics: dict[str, Callable], scale: int,
+                         tile: int | tuple[int, int] = 64,
+                         overlap: int = 8, batch: int = 16):
+    """eval_step whose forward runs in fixed-shape tile batches so the CS
+    Pallas kernels engage on full-size images (train/tiled.py rationale;
+    reference hot loop: validation_step srmodel.py:214-343). Metrics are
+    computed on the stitched SR inside the same program — nothing new
+    crosses the host boundary."""
+    from .tiled import make_tiled_apply
+    th, tw = (tile, tile) if isinstance(tile, int) else tile
+    tiler = make_tiled_apply(scale, th, tw, overlap, batch)
+
+    def eval_step(state: TrainState, lr_img, hr_img, mask):
+        variables = _variables(state)
+
+        def fwd(t):
+            return state.apply_fn(variables, t, train=False)
+
+        sr = tiler(fwd, lr_img)
+        return _metric_results(metrics, sr, hr_img, mask)
+
+    return jax.jit(eval_step)
+
+
+def make_tiled_predict_step(scale: int, tile: int | tuple[int, int] = 64,
+                            overlap: int = 8, batch: int = 16):
+    """predict_step running the tile-batched kernel-path forward
+    (reference predict_step srmodel.py:375-433)."""
+    from .tiled import make_tiled_apply
+    th, tw = (tile, tile) if isinstance(tile, int) else tile
+    tiler = make_tiled_apply(scale, th, tw, overlap, batch)
+
+    def predict_step(state: TrainState, lr_img):
+        variables = _variables(state)
+
+        def fwd(t):
+            return state.apply_fn(variables, t, train=False)
+
+        sr = tiler(fwd, lr_img)
+        return jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
+
+    return jax.jit(predict_step)
+
+
 def make_predict_step():
     def predict_step(state: TrainState, lr_img):
-        variables = {'params': state.params}
-        if state.batch_stats:
-            variables['batch_stats'] = state.batch_stats
-        sr = state.apply_fn(variables, lr_img, train=False)
+        sr = state.apply_fn(_variables(state), lr_img, train=False)
         return jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
 
     return jax.jit(predict_step)

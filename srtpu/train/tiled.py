@@ -79,3 +79,97 @@ def tiled_predict(forward, lr: np.ndarray, scale: int, tile: int = 128,
                 (x0 + vx0) * scale:(x0 + vx1) * scale] = \
                 sr_tile[vy0 * scale:vy1 * scale, vx0 * scale:vx1 * scale]
     return out
+
+
+# ---------------------------------------------------------------------------
+# In-jit tiled forward: the kernel-path serving/eval design (round 5)
+# ---------------------------------------------------------------------------
+#
+# Motivation (VERDICT r4 #1): every CS-kernel win was train-step-only —
+# full eval/predict images exceed the kernels' lane budget (S = H*W*k <=
+# ops/cs_conv.S_MAX) so validation and serving always took the 36%-MFU XLA
+# fallback. This runs the SAME model apply over fixed-shape tile BATCHES
+# (plan-capable shapes where the CS kernels engage) entirely inside one
+# jitted program:
+#
+#   gather   — every (tile_h, tile_w) window via vmapped dynamic_slice;
+#   forward  — lax.map over batches of `batch` tiles (one traced model
+#              body, reused per batch — and across outer image shapes the
+#              Mosaic kernel cache is shared since tile shapes are fixed);
+#   scatter  — masked read-modify-write dynamic_update_slice per tile:
+#              each tile emits only its deep-context center, except at
+#              image borders (same emission rule as host tiled_predict).
+#
+# The output never leaves the device: eval computes metrics on it in the
+# same program; serving fetches it once (or not at all when chained).
+# Interiors are exact when ``overlap`` >= the receptive-field radius;
+# smaller overlaps trade a measured, bounded seam error for less halo
+# recompute (the waste factor is tile/(tile-2*overlap) per dim).
+# Reference counterparts: validation_step srmodel.py:214-343 and
+# predict_step srmodel.py:375-433 (full-image batch-1 forwards).
+
+
+def make_tiled_apply(scale: int, tile_h: int = 64, tile_w: int = 64,
+                     overlap: int = 8, batch: int = 16):
+    """Build ``tiled(forward_b, lr) -> sr`` for use INSIDE jit.
+
+    ``forward_b`` maps (batch, tile_h, tile_w, C) -> (batch, tile_h*scale,
+    tile_w*scale, C). ``lr`` is (B, H, W, C); tiles are collected across
+    the whole (possibly B>1) input so the device batch stays full.
+    """
+    assert tile_h > 2 * overlap >= 0 and tile_w > 2 * overlap >= 0
+
+    def tiled(forward_b, lr):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        b, h, w, c = lr.shape
+        hp, wp = max(h, tile_h), max(w, tile_w)
+        if (hp, wp) != (h, w):
+            # sub-tile images are edge-padded up to one tile (replicated
+            # conv context at the pad border, like host tiled_predict)
+            lr = jnp.pad(lr, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                         mode='edge')
+        ys = _anchors(hp, tile_h, tile_h - 2 * overlap)
+        xs = _anchors(wp, tile_w, tile_w - 2 * overlap)
+        anchors = np.array([(bi, y, x) for bi in range(b)
+                            for y in ys for x in xs], np.int32)
+        n = len(anchors)
+        # batch is a MAXIMUM: a 4-tile image runs one batch of 4, not a
+        # batch of 16 with 12 duplicates (CS plans accept any B at k=1)
+        batch_eff = min(batch, n)
+        n_pad = -(-n // batch_eff) * batch_eff
+        if n_pad > n:  # repeat the last anchor; duplicate writes are
+            anchors = np.concatenate(  # idempotent (same content)
+                [anchors, np.repeat(anchors[-1:], n_pad - n, 0)])
+        anc = jnp.asarray(anchors)
+
+        tiles = jax.vmap(lambda a: lax.dynamic_slice(
+            lr, (a[0], a[1], a[2], 0), (1, tile_h, tile_w, c))[0])(anc)
+        srs = lax.map(forward_b,
+                      tiles.reshape(-1, batch_eff, tile_h, tile_w, c))
+        ths, tws, ovs = tile_h * scale, tile_w * scale, overlap * scale
+        srs = srs.reshape(n_pad, ths, tws, c)
+
+        out = jnp.zeros((b, hp * scale, wp * scale, c), srs.dtype)
+        rr = jnp.arange(ths)[:, None]
+        cc = jnp.arange(tws)[None, :]
+
+        def write(acc, inp):
+            a, sr_t = inp
+            y0, x0 = a[1], a[2]
+            rows = (((rr >= ovs) | (y0 == 0))
+                    & ((rr < ths - ovs) | (y0 == hp - tile_h)))
+            cols = (((cc >= ovs) | (x0 == 0))
+                    & ((cc < tws - ovs) | (x0 == wp - tile_w)))
+            mask = (rows & cols)[None, :, :, None]
+            at = (a[0], y0 * scale, x0 * scale, 0)
+            cur = lax.dynamic_slice(acc, at, (1, ths, tws, c))
+            new = jnp.where(mask, sr_t[None], cur)
+            return lax.dynamic_update_slice(acc, new, at), None
+
+        out, _ = lax.scan(write, out, (anc, srs))
+        return out[:, :h * scale, :w * scale]
+
+    return tiled

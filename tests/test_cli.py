@@ -162,7 +162,7 @@ def test_cli_export_roundtrip(tiny_dataset, tmp_path):
     assert got.shape == (1, 48, 48, 3)
 
     from srtpu.cli import _restore
-    state, hp, _ = _restore(str(root / 'checkpoints'), [])
+    state, hp, _, _ = _restore(str(root / 'checkpoints'), [])
     want = np.clip(np.asarray(
         state.apply_fn({'params': state.params}, lr, train=False),
         np.float32), 0.0, 1.0)

@@ -100,3 +100,135 @@ def test_trainer_predict_tiled(tmp_path):
     tiled = run(32)
     assert untiled.shape == tiled.shape == (192, 160, 3)
     np.testing.assert_allclose(tiled, untiled, atol=1.01)  # uint8 rounding
+
+
+# ---------------------------------------------------------------------------
+# In-jit tiled forward (kernel-path eval/predict/serving — VERDICT r4 #1)
+# ---------------------------------------------------------------------------
+
+def _small_edsr():
+    model = create_model('EDSR', scale_factor=2, n_feats=8, n_resblocks=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    return model, variables
+
+
+@pytest.mark.parametrize('shape', [(1, 80, 96), (2, 70, 50), (1, 64, 64)])
+def test_injit_tiled_matches_direct(shape):
+    """make_tiled_apply == direct forward when overlap >= receptive
+    radius, for B=1 and B>1 and non-stride-multiple sizes."""
+    from srtpu.train.tiled import make_tiled_apply
+    model, variables = _small_edsr()
+    b, h, w = shape
+    lr = jnp.asarray(np.random.default_rng(0).random(
+        (b, h, w, 3)).astype(np.float32))
+    direct = np.asarray(jax.jit(
+        lambda x: model.apply(variables, x, train=False))(lr))
+
+    tiler = make_tiled_apply(scale=2, tile_h=32, tile_w=32, overlap=8,
+                             batch=4)
+
+    @jax.jit
+    def run(x):
+        return tiler(lambda t: model.apply(variables, t, train=False), x)
+
+    tiled = np.asarray(run(lr))
+    assert tiled.shape == direct.shape
+    np.testing.assert_allclose(tiled, direct, atol=2e-5)
+
+
+def test_injit_tiled_subtile_interior():
+    """Sub-tile images get edge-padded; interiors match direct."""
+    from srtpu.train.tiled import make_tiled_apply
+    model, variables = _small_edsr()
+    lr = jnp.asarray(np.random.default_rng(1).random(
+        (1, 16, 16, 3)).astype(np.float32))
+    direct = np.asarray(model.apply(variables, lr, train=False))
+    tiler = make_tiled_apply(scale=2, tile_h=32, tile_w=32, overlap=8)
+    tiled = np.asarray(jax.jit(lambda x: tiler(
+        lambda t: model.apply(variables, t, train=False), x))(lr))
+    assert tiled.shape == direct.shape
+    m = 16
+    np.testing.assert_allclose(tiled[:, m:-m, m:-m], direct[:, m:-m, m:-m],
+                               atol=2e-5)
+
+
+def test_tiled_eval_step_matches_plain():
+    """make_tiled_eval_step returns the same SR and metrics as the plain
+    eval step (exact-interior overlap, masked metrics)."""
+    from srtpu.metrics import build_metrics
+    from srtpu.optim import build_optimizer
+    from srtpu.train import create_train_state
+    from srtpu.train.steps import make_eval_step, make_tiled_eval_step
+
+    model, _ = _small_edsr()
+    state = create_train_state(model, build_optimizer('ADAM', []),
+                               jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)))
+    metrics = build_metrics(['PSNR', 'SSIM'])
+    rng = np.random.default_rng(2)
+    lr = jnp.asarray(rng.random((1, 72, 88, 3)).astype(np.float32))
+    hr = jnp.asarray(rng.random((1, 144, 176, 3)).astype(np.float32))
+    mask = jnp.ones((1, 144, 176, 1), np.float32)
+
+    sr_p, m_p = make_eval_step(metrics)(state, lr, hr, mask)
+    sr_t, m_t = make_tiled_eval_step(metrics, scale=2, tile=32,
+                                     overlap=8)(state, lr, hr, mask)
+    np.testing.assert_allclose(np.asarray(sr_t), np.asarray(sr_p),
+                               atol=2e-5)
+    for k in m_p:
+        np.testing.assert_allclose(float(m_t[k]), float(m_p[k]), rtol=1e-4)
+
+
+def test_tiled_predict_step_matches_plain():
+    from srtpu.optim import build_optimizer
+    from srtpu.train import create_train_state
+    from srtpu.train.steps import make_predict_step, make_tiled_predict_step
+
+    model, _ = _small_edsr()
+    state = create_train_state(model, build_optimizer('ADAM', []),
+                               jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)))
+    lr = jnp.asarray(np.random.default_rng(3).random(
+        (1, 60, 100, 3)).astype(np.float32))
+    plain = np.asarray(make_predict_step()(state, lr))
+    tiled = np.asarray(make_tiled_predict_step(
+        scale=2, tile=32, overlap=8)(state, lr))
+    np.testing.assert_allclose(tiled, plain, atol=2e-5)
+
+
+def test_tiled_gate_and_routing(monkeypatch):
+    """_tiled_gate excludes non-CS models / RCAN / eval_tile=0 / non-TPU;
+    _route_tiled keeps plan-capable shapes direct, tiles the big ones."""
+    from srtpu.ops import cs_conv
+    from srtpu.train import Trainer, TrainerConfig
+
+    tr = Trainer(TrainerConfig(default_root_dir='/tmp/srtpu_gate_test'))
+    try:
+        edsr_cs = create_model('EDSR', scale_factor=4, use_pallas='cs')
+        edsr_xla = create_model('EDSR', scale_factor=4, use_pallas=False)
+        rcan = create_model('RCAN', scale_factor=4, use_pallas='cs')
+
+        # off-TPU (no opt-in): gate closed even for CS models
+        assert tr._tiled_gate(edsr_cs) is None
+
+        monkeypatch.setattr(cs_conv, '_cs_backend_ok', lambda: True)
+        assert tr._tiled_gate(edsr_cs) == (4, 64, 8)
+        assert tr._tiled_gate(edsr_xla) is None      # XLA model
+        assert tr._tiled_gate(rcan) is None          # global pooling
+        assert tr._tiled_gate(None) is None
+
+        # routing: training-like shapes have a direct CS plan -> no tiling
+        assert not tr._route_tiled(edsr_cs, (16, 32, 32, 3))
+        assert not tr._route_tiled(edsr_cs, (1, 64, 64, 3))
+        # full eval/serving images exceed every plan -> tiled
+        assert tr._route_tiled(edsr_cs, (1, 256, 256, 3))
+        assert tr._route_tiled(edsr_cs, (1, 510, 339, 3))
+
+        tr2 = Trainer(TrainerConfig(default_root_dir='/tmp/srtpu_gate_test',
+                                    eval_tile=0))
+        try:
+            assert tr2._tiled_gate(edsr_cs) is None  # disabled by config
+        finally:
+            tr2.close()
+    finally:
+        tr.close()
