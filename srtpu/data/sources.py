@@ -43,10 +43,81 @@ def _to_float(arr: np.ndarray) -> np.ndarray:
     return arr.astype(np.float32)
 
 
+# --------------------------------------------------------------------------
+# On-disk decoded cache (VERDICT r4 #5).
+#
+# PNG/JPEG decode on this 1-core host runs ~80 patches/s — ~96x below the
+# device rate — and the RAM cache above it is per-process, so EVERY run
+# and every sweep cell (tools/run_comparisons.py) re-pays a decode-bound
+# first epoch. The reference hides decode cost behind a per-worker decode
+# pool (reference srdata.py:514-516) — multi-core only. Here each image's
+# decoded RAW array (uint8/uint16, pre-_to_float: half the bytes of f32
+# and bit-exact) is written once per machine to
+# ``$SRTPU_DECODE_CACHE`` (a dir; default ~/.cache/srtpu/decoded;
+# ``0``/``off`` disables), keyed by absolute path + mtime + size, and
+# later loads are a raw read at disk bandwidth. Writes are atomic
+# (tmp + rename) so concurrent processes can share the dir.
+# --------------------------------------------------------------------------
+
+def _decode_cache_dir():
+    import os
+    val = os.environ.get('SRTPU_DECODE_CACHE', '')
+    if val.lower() in ('0', 'off', 'none', 'disable', 'disabled'):
+        return None
+    if val:
+        return Path(val)
+    return Path.home() / '.cache' / 'srtpu' / 'decoded'
+
+
+def _decode_cache_path(path) -> Path | None:
+    root = _decode_cache_dir()
+    if root is None:
+        return None
+    import hashlib
+    try:
+        p = Path(path).resolve()
+        st = p.stat()
+    except OSError:
+        return None
+    key = hashlib.sha1(str(p).encode()).hexdigest()[:24]
+    return root / f'{key}-{st.st_mtime_ns}-{st.st_size}.npy'
+
+
+def _cache_load(cache: Path | None) -> np.ndarray | None:
+    if cache is None:
+        return None
+    try:
+        if cache.exists():
+            return np.load(cache)
+    except Exception:  # torn/corrupt entry: fall through to re-decode
+        _logger.warning('unreadable decode-cache entry %s; re-decoding',
+                        cache)
+    return None
+
+
+def _cache_store(cache: Path | None, raw: np.ndarray) -> None:
+    if cache is None:
+        return
+    import os
+    try:
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        tmp = cache.with_suffix(f'.{os.getpid()}.tmp.npy')
+        np.save(tmp, raw)
+        os.replace(tmp, cache)
+    except OSError as exc:  # full/read-only disk must not break training
+        _logger.warning('decode-cache write failed (%s); continuing '
+                        'uncached', exc)
+
+
 def _load_image(path) -> np.ndarray:
-    from PIL import Image
-    with Image.open(path) as im:
-        return _to_float(np.asarray(im.convert('RGB')))
+    cache = _decode_cache_path(path)
+    raw = _cache_load(cache)
+    if raw is None:
+        from PIL import Image
+        with Image.open(path) as im:
+            raw = np.asarray(im.convert('RGB'))
+        _cache_store(cache, raw)
+    return _to_float(raw)
 
 
 def bicubic_downscale(hr: np.ndarray, scale: int) -> np.ndarray:

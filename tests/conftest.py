@@ -19,6 +19,10 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 # stale shell export can't drag the whole fast lane through interpret
 # kernels.
 os.environ.pop('SRTPU_CS_OFF_TPU', None)
+# hermetic suite: the on-disk decoded-image cache (srtpu/data/sources.py)
+# must not write into ~/.cache from tests; cache-specific tests opt in
+# with a tmp dir via monkeypatch
+os.environ['SRTPU_DECODE_CACHE'] = '0'
 _flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (

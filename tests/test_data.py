@@ -293,3 +293,63 @@ def test_eval_center_crop_pads_small_images(tmp_path):
     out = center_crop(np.ones((4, 4, 1), np.float32), 8, 8)
     assert out.shape == (8, 8, 1)
     assert out[4, 4, 0] == 1.0 and out[0, 0, 0] == 0.0
+
+
+def test_decode_cache_roundtrip(tmp_path, monkeypatch):
+    """On-disk decoded cache: second load comes from the cache (PIL not
+    touched), bit-identical; stale entries are keyed out by mtime+size;
+    corrupt entries fall back to re-decode."""
+    import os
+    import time
+
+    from PIL import Image
+    from srtpu.data import sources
+
+    img_path = tmp_path / 'img.png'
+    rng = np.random.default_rng(0)
+    first = (rng.random((24, 20, 3)) * 255).astype(np.uint8)
+    Image.fromarray(first).save(img_path)
+
+    cache_dir = tmp_path / 'cache'
+    monkeypatch.setenv('SRTPU_DECODE_CACHE', str(cache_dir))
+
+    a = sources._load_image(img_path)
+    entries = list(cache_dir.glob('*.npy'))
+    assert len(entries) == 1
+    # cached raw is the pre-float uint8 array (half the bytes of f32)
+    assert np.load(entries[0]).dtype == np.uint8
+
+    # second load: cache hit, identical, and PIL is not consulted
+    def boom(*a, **k):
+        raise AssertionError('decode ran on a cache hit')
+    monkeypatch.setattr(Image, 'open', boom)
+    b = sources._load_image(img_path)
+    np.testing.assert_array_equal(a, b)
+    monkeypatch.undo()
+    monkeypatch.setenv('SRTPU_DECODE_CACHE', str(cache_dir))
+
+    # rewrite the image (newer mtime) -> new key, fresh decode
+    second = (rng.random((24, 20, 3)) * 255).astype(np.uint8)
+    time.sleep(0.01)
+    Image.fromarray(second).save(img_path)
+    os.utime(img_path)
+    c = sources._load_image(img_path)
+    np.testing.assert_allclose(c, second.astype(np.float32) / 255.0)
+
+    # corrupt entry -> re-decode, not a crash
+    entry = sources._decode_cache_path(img_path)
+    entry.write_bytes(b'garbage')
+    d = sources._load_image(img_path)
+    np.testing.assert_array_equal(d, c)
+
+
+def test_decode_cache_disabled(tmp_path, monkeypatch):
+    from PIL import Image
+    from srtpu.data import sources
+
+    img_path = tmp_path / 'img.png'
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img_path)
+    monkeypatch.setenv('SRTPU_DECODE_CACHE', '0')
+    assert sources._decode_cache_path(img_path) is None
+    sources._load_image(img_path)  # no cache dir created anywhere in tmp
+    assert not list(tmp_path.glob('**/*.npy'))
