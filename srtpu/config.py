@@ -81,8 +81,9 @@ DEFAULTS: dict[str, Any] = {
         'remat': False,             # gradient checkpointing (HBM saver)
         'predict_tile': 0,          # >0: tile huge predict images (LR px)
         'predict_tile_overlap': 32,
-        'eval_tile': 64,            # tile-batched kernel-path eval/predict
-        #                             on TPU for CS models (0 disables)
+        'eval_tile': 80,            # tile-batched kernel-path eval/predict
+        #                             on TPU for CS models (0 disables);
+        #                             80/ov8 measured best (PERF.md r5)
         'eval_tile_overlap': 8,     # LR px halo per tile edge
         'steps_per_execution': 1,   # scan k train steps per host dispatch
     },
@@ -318,7 +319,7 @@ def build_all(cfg: dict):
         deterministic=bool(trainer.get('deterministic', False)),
         remat=bool(trainer.get('remat', False)),
         predict_tile=int(trainer.get('predict_tile', 0) or 0),
-        eval_tile=int(trainer.get('eval_tile', 64) or 0),
+        eval_tile=int(trainer.get('eval_tile', 80) or 0),
         eval_tile_overlap=int(trainer.get('eval_tile_overlap', 8) or 0),
         predict_tile_overlap=int(trainer.get('predict_tile_overlap', 32)),
         steps_per_execution=int(trainer.get('steps_per_execution', 1)))

@@ -84,7 +84,7 @@ class TrainerConfig:
     predict_tile: int = 0                   # >0: tile huge predict images
     predict_tile_overlap: int = 32          # LR px, >= receptive radius
     steps_per_execution: int = 1            # scan k steps per dispatch
-    eval_tile: int = 64                     # tile-batched kernel-path eval/
+    eval_tile: int = 80                     # tile-batched kernel-path eval/
     #                                         predict on TPU for CS models:
     #                                         full-size images run the CS
     #                                         Pallas kernels in fixed-shape

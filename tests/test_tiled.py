@@ -212,7 +212,7 @@ def test_tiled_gate_and_routing(monkeypatch):
         assert tr._tiled_gate(edsr_cs) is None
 
         monkeypatch.setattr(cs_conv, '_cs_backend_ok', lambda: True)
-        assert tr._tiled_gate(edsr_cs) == (4, 64, 8)
+        assert tr._tiled_gate(edsr_cs) == (4, 80, 8)  # 80/ov8: PERF.md r5
         assert tr._tiled_gate(edsr_xla) is None      # XLA model
         assert tr._tiled_gate(rcan) is None          # global pooling
         assert tr._tiled_gate(None) is None
