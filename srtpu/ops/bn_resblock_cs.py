@@ -46,8 +46,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cs_conv import (_build_x3, _cp, _dy_reduce, _gs_roll, _interpret,
-                      _stk, w_cs_T_from_cs)
+from .cs_conv import (_build_g3_reflect_T, _build_x3, _build_x3_reflect,
+                      _cp, _dy_reduce, _dy_reduce_reflect,
+                      _dy_reduce_reflect_T, _gs_roll, _gs_roll_reflect,
+                      _interpret, _stk, w_cs_T_from_cs)
 
 EPS = 1e-5
 
@@ -77,15 +79,37 @@ def _accw(c):
 # ---------------------------------------------------------------------------
 
 
+def _bld(reflect):
+    """(conv input builder, conv row reduce) for the boundary mode."""
+    if reflect:
+        return _build_x3_reflect, _dy_reduce_reflect
+    return (lambda x, ref, s, w: _build_x3(x, ref, s, w)), \
+        (lambda p, s, wk: _dy_reduce(p, s, wk))
+
+
+def _bld_t(reflect):
+    """(convT input builder, convT row reduce) for the boundary mode."""
+    if reflect:
+        return _build_g3_reflect_T, _dy_reduce_reflect_T
+    return (lambda g, ref, s, w: _build_x3(g, ref, s, w)), \
+        (lambda p, s, wk: _dy_reduce(p, s, wk))
+
+
+def _gsr(reflect):
+    return _gs_roll_reflect if reflect else \
+        (lambda gf, dy, s, wk: _gs_roll(gf, dy, s, wk))
+
+
 def _f1_kernel(u_ref, w_ref, b_ref, y_ref, sm_ref, sq_ref, x3_ref,
-               *, w_img, wk):
+               *, w_img, wk, reflect=False):
     """conv(u) -> y; accumulate per-channel sum / sum-of-squares of y."""
     gid = pl.program_id(0)
     u = u_ref[0]
     c, s = u.shape
-    _build_x3(u, x3_ref, s, w_img)
+    build, reduce_ = _bld(reflect)
+    build(u, x3_ref, s, w_img)
     p = jnp.dot(w_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
-    y = (_dy_reduce(p, s, wk) + b_ref[0]).astype(y_ref.dtype)
+    y = (reduce_(p, s, wk) + b_ref[0]).astype(y_ref.dtype)
     y_ref[0] = y
 
     @pl.when(gid == 0)
@@ -99,16 +123,17 @@ def _f1_kernel(u_ref, w_ref, b_ref, y_ref, sm_ref, sq_ref, x3_ref,
 
 
 def _f2_kernel(y1_ref, a1_ref, c1_ref, al_ref, w_ref, b_ref,
-               y2_ref, sm_ref, sq_ref, x3_ref, *, w_img, wk):
+               y2_ref, sm_ref, sq_ref, x3_ref, *, w_img, wk, reflect=False):
     """h1 = prelu(a1*y1 + c1); conv(h1) -> y2; accumulate y2 stats."""
     gid = pl.program_id(0)
     y1 = y1_ref[0]
     c, s = y1.shape
     z = a1_ref[...] * y1.astype(jnp.float32) + c1_ref[...]
     h1 = jnp.where(z >= 0, z, al_ref[...] * z).astype(y1.dtype)
-    _build_x3(h1, x3_ref, s, w_img)
+    build, reduce_ = _bld(reflect)
+    build(h1, x3_ref, s, w_img)
     p = jnp.dot(w_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
-    y2 = (_dy_reduce(p, s, wk) + b_ref[0]).astype(y2_ref.dtype)
+    y2 = (reduce_(p, s, wk) + b_ref[0]).astype(y2_ref.dtype)
     y2_ref[0] = y2
 
     @pl.when(gid == 0)
@@ -153,7 +178,7 @@ def _b2_kernel(g_ref, y2_ref, y1_ref, mean2_ref, inv2_ref, coef2_ref,
                t1_ref, t2_ref, a1_ref, c1_ref, al_ref, w2t_ref,
                mean1_ref, inv1_ref,
                dz_ref, dw2t_ref, db2_ref, dal_ref, sdz_ref, sdzx_ref,
-               s3_ref, *, w_img, wk):
+               s3_ref, *, w_img, wk, reflect=False):
     """BN2 backward -> convT(W2) -> PReLU backward; dW2/db2/dalpha accums
     and BN1's reduction terms (S_dz, S_dz*xhat1)."""
     gid = pl.program_id(0)
@@ -175,9 +200,10 @@ def _b2_kernel(g_ref, y2_ref, y1_ref, mean2_ref, inv2_ref, coef2_ref,
         sdzx_ref[...] = jnp.zeros_like(sdzx_ref)
 
     # dh1 = convT(dy2, W2)
-    _build_x3(dy2c, s3_ref, s, w_img)
+    build_t, reduce_t = _bld_t(reflect)
+    build_t(dy2c, s3_ref, s, w_img)
     p = jnp.dot(w2t_ref[0], s3_ref[...], preferred_element_type=jnp.float32)
-    dh1 = _dy_reduce(p, s, wk)
+    dh1 = reduce_t(p, s, wk)
 
     # PReLU backward: z = a1*y1 + c1; h1 = where(z>=0, z, al*z)
     z = a1_ref[...] * y1.astype(jnp.float32) + c1_ref[...]
@@ -194,10 +220,12 @@ def _b2_kernel(g_ref, y2_ref, y1_ref, mean2_ref, inv2_ref, coef2_ref,
 
     # dW2[dy] = roll(dy2, dy) @ H3^T ; db2 = sum dy2 (h1 recomputed)
     h1 = jnp.where(z >= 0, z, al_ref[...] * z).astype(y1.dtype)
-    _build_x3(h1, s3_ref, s, w_img)
+    build, _ = _bld(reflect)
+    gs = _gsr(reflect)
+    build(h1, s3_ref, s, w_img)
     h3 = s3_ref[...]
     for dy in range(3):
-        dr = _gs_roll(dy2.astype(y1.dtype), dy, s, wk)
+        dr = gs(dy2.astype(y1.dtype), dy, s, wk)
         dw2t_ref[dy] += jax.lax.dot_general(
             dr, h3, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -206,7 +234,8 @@ def _b2_kernel(g_ref, y2_ref, y1_ref, mean2_ref, inv2_ref, coef2_ref,
 
 def _b3_kernel(dz_ref, y1_ref, mean1_ref, inv1_ref, coef1_ref,
                t1_ref, t2_ref, u_ref, g_ref, w1t_ref,
-               du_ref, dw1t_ref, db1_ref, s3_ref, *, w_img, wk, skip):
+               du_ref, dw1t_ref, db1_ref, s3_ref, *, w_img, wk, skip,
+               reflect=False):
     """BN1 backward -> convT(W1) (+ skip grad) -> du; dW1/db1 accums."""
     gid = pl.program_id(0)
     dz = dz_ref[0].astype(jnp.float32)
@@ -222,17 +251,20 @@ def _b3_kernel(dz_ref, y1_ref, mean1_ref, inv1_ref, coef1_ref,
         dw1t_ref[...] = jnp.zeros_like(dw1t_ref)
         db1_ref[...] = jnp.zeros_like(db1_ref)
 
-    _build_x3(dy1c, s3_ref, s, w_img)
+    build_t, reduce_t = _bld_t(reflect)
+    build_t(dy1c, s3_ref, s, w_img)
     p = jnp.dot(w1t_ref[0], s3_ref[...], preferred_element_type=jnp.float32)
-    du = _dy_reduce(p, s, wk)
+    du = reduce_t(p, s, wk)
     if skip:
         du = du + g_ref[0].astype(jnp.float32)
     du_ref[0] = du.astype(du_ref.dtype)
 
-    _build_x3(u, s3_ref, s, w_img)
+    build, _ = _bld(reflect)
+    gs = _gsr(reflect)
+    build(u, s3_ref, s, w_img)
     u3 = s3_ref[...]
     for dy in range(3):
-        dr = _gs_roll(dy1.astype(u.dtype), dy, s, wk)
+        dr = gs(dy1.astype(u.dtype), dy, s, wk)
         dw1t_ref[dy] += jax.lax.dot_general(
             dr, u3, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -264,17 +296,18 @@ def _conv_stats_call(kernel, args, g, c, s, dtype, n_vec, interpret):
     )(*args)
 
 
-def f1_conv_stats(u, ws, bs, w_img, k, interpret=None):
+def f1_conv_stats(u, ws, bs, w_img, k, interpret=None, reflect=False):
     g, c, s = u.shape
     return _conv_stats_call(
-        partial(_f1_kernel, w_img=w_img, wk=w_img * k),
+        partial(_f1_kernel, w_img=w_img, wk=w_img * k, reflect=reflect),
         (u, ws, bs), g, c, s, u.dtype, 0, interpret)
 
 
-def f2_norm_act_conv_stats(y1, a1, c1, al, ws, bs, w_img, k, interpret=None):
+def f2_norm_act_conv_stats(y1, a1, c1, al, ws, bs, w_img, k, interpret=None,
+                           reflect=False):
     g, c, s = y1.shape
     return _conv_stats_call(
-        partial(_f2_kernel, w_img=w_img, wk=w_img * k),
+        partial(_f2_kernel, w_img=w_img, wk=w_img * k, reflect=reflect),
         (y1, a1, c1, al, ws, bs), g, c, s, y1.dtype, 3, interpret)
 
 
@@ -306,10 +339,10 @@ def b1_sums(gout, y, mean, inv, interpret=None):
 
 
 def b2_call(gout, y2, y1, mean2, inv2, coef2, t1, t2, a1, c1, al, w2ts,
-            mean1, inv1, w_img, k, interpret=None):
+            mean1, inv1, w_img, k, interpret=None, reflect=False):
     g, c, s = gout.shape
     return pl.pallas_call(
-        partial(_b2_kernel, w_img=w_img, wk=w_img * k),
+        partial(_b2_kernel, w_img=w_img, wk=w_img * k, reflect=reflect),
         grid=(g,),
         compiler_params=_cp(),
         in_specs=[_blk(c, s), _blk(c, s), _blk(c, s)]
@@ -331,10 +364,11 @@ def b2_call(gout, y2, y1, mean2, inv2, coef2, t1, t2, a1, c1, al, w2ts,
 
 
 def b3_call(dz, y1, mean1, inv1, coef1, t1, t2, u, gout, w1ts, w_img, k,
-            skip=True, interpret=None):
+            skip=True, interpret=None, reflect=False):
     g, c, s = dz.shape
     return pl.pallas_call(
-        partial(_b3_kernel, w_img=w_img, wk=w_img * k, skip=skip),
+        partial(_b3_kernel, w_img=w_img, wk=w_img * k, skip=skip,
+                reflect=reflect),
         grid=(g,),
         compiler_params=_cp(),
         in_specs=[_blk(c, s), _blk(c, s)] + [_vec()] * 5
@@ -376,8 +410,9 @@ def _col(v):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(10, 11))
-def bn_resblock_cs(u, w1, b1, ga1, be1, alpha, w2, b2, ga2, be2, w_img, k):
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def bn_resblock_cs(u, w1, b1, ga1, be1, alpha, w2, b2, ga2, be2, w_img, k,
+                   reflect=False):
     """One SRResNet resblock in CS layout, training mode.
 
     u (G, C, S); w1/w2 CS-arranged (1, 3C, 3C) slices of the stacked
@@ -385,23 +420,28 @@ def bn_resblock_cs(u, w1, b1, ga1, be1, alpha, w2, b2, ga2, be2, w_img, k):
     Returns (out, (mean1, var1, mean2, var2)) — the batch stats feed the
     module's running-average update and are NOT differentiated through
     (their cotangents are ignored; they only flow into mutable state).
+    ``reflect=True`` runs both convs with REFLECT boundaries (SRGAN's
+    generator block, reference srgan.py:20-33) instead of SAME zero-pad.
     """
     out, _, stats = _bn_rb_fwd(u, w1, b1, ga1, be1, alpha, w2, b2, ga2,
-                               be2, w_img, k)
+                               be2, w_img, k, reflect)
     return out, stats
 
 
-def _bn_rb_fwd(u, w1, b1, ga1, be1, alpha, w2, b2, ga2, be2, w_img, k):
+def _bn_rb_fwd(u, w1, b1, ga1, be1, alpha, w2, b2, ga2, be2, w_img, k,
+               reflect=False):
     g, c, s = u.shape
     m = jnp.float32(g * s)
     dt = u.dtype
     al = jnp.broadcast_to(alpha.astype(jnp.float32).reshape(1, 1), (c, 1))
 
-    y1, sm1, sq1 = f1_conv_stats(u, w1.astype(dt), _col(b1[0])[None], w_img, k)
+    y1, sm1, sq1 = f1_conv_stats(u, w1.astype(dt), _col(b1[0])[None], w_img,
+                                 k, reflect=reflect)
     mean1, var1, inv1, a1, c1 = _finalize(sm1, sq1, m, _col(ga1[0]),
                                           _col(be1[0]))
     y2, sm2, sq2 = f2_norm_act_conv_stats(y1, a1, c1, al, w2.astype(dt),
-                                          _col(b2[0])[None], w_img, k)
+                                          _col(b2[0])[None], w_img, k,
+                                          reflect=reflect)
     mean2, var2, inv2, a2, c2 = _finalize(sm2, sq2, m, _col(ga2[0]),
                                           _col(be2[0]))
     out = f3_norm_skip(y2, a2, c2, u)
@@ -411,13 +451,14 @@ def _bn_rb_fwd(u, w1, b1, ga1, be1, alpha, w2, b2, ga2, be2, w_img, k):
     return out, saved, stats
 
 
-def _bn_rb_vjp_fwd(u, w1, b1, ga1, be1, alpha, w2, b2, ga2, be2, w_img, k):
+def _bn_rb_vjp_fwd(u, w1, b1, ga1, be1, alpha, w2, b2, ga2, be2, w_img, k,
+                   reflect):
     out, saved, stats = _bn_rb_fwd(u, w1, b1, ga1, be1, alpha, w2, b2,
-                                   ga2, be2, w_img, k)
+                                   ga2, be2, w_img, k, reflect)
     return (out, stats), saved
 
 
-def _bn_rb_vjp_bwd(w_img, k, saved, gs):
+def _bn_rb_vjp_bwd(w_img, k, reflect, saved, gs):
     gout = gs[0]           # stat cotangents (gs[1]) are state-only: ignored
     (u, y1, y2, mean1, inv1, mean2, inv2, w1, ga1, be1, alpha,
      w2, ga2, be2, a1, c1) = saved
@@ -432,10 +473,11 @@ def _bn_rb_vjp_bwd(w_img, k, saved, gs):
     coef2 = _col(ga2[0]) * inv2
     dz, dw2t, db2, dal, sdz, sdzx = b2_call(
         gout, y2, y1, mean2, inv2, coef2, sg2 / m, sgx2 / m, a1, c1, al,
-        w2ts, mean1, inv1, w_img, k)
+        w2ts, mean1, inv1, w_img, k, reflect=reflect)
     coef1 = _col(ga1[0]) * inv1
     du, dw1t, db1 = b3_call(dz, y1, mean1, inv1, coef1, sdz / m, sdzx / m,
-                            u, gout, w1ts, w_img, k, skip=True)
+                            u, gout, w1ts, w_img, k, skip=True,
+                            reflect=reflect)
 
     wd = w1.dtype
     return (du,
@@ -453,33 +495,37 @@ def _bn_rb_vjp_bwd(w_img, k, saved, gs):
 bn_resblock_cs.defvjp(_bn_rb_vjp_fwd, _bn_rb_vjp_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def bn_close_cs(u, x_skip, wc, bc, gac, bec, w_img, k):
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def bn_close_cs(u, x_skip, wc, bc, gac, bec, w_img, k, reflect=False):
     """Closing conv + BN + global skip: out = BN(conv(u)) + x_skip.
 
     Reference models/srresnet.py:27-30 (BasicBlock norm='batch' act=None
     followed by the trunk skip). wc is a (1, 3C, 3C) CS slice.
+    ``reflect=True``: REFLECT conv boundary (SRGAN, srgan.py:40-43).
     """
-    out, _, stats = _bn_close_fwd(u, x_skip, wc, bc, gac, bec, w_img, k)
+    out, _, stats = _bn_close_fwd(u, x_skip, wc, bc, gac, bec, w_img, k,
+                                  reflect)
     return out, stats
 
 
-def _bn_close_fwd(u, x_skip, wc, bc, gac, bec, w_img, k):
+def _bn_close_fwd(u, x_skip, wc, bc, gac, bec, w_img, k, reflect=False):
     g, c, s = u.shape
     m = jnp.float32(g * s)
     dt = u.dtype
-    y, sm, sq = f1_conv_stats(u, wc.astype(dt), _col(bc[0])[None], w_img, k)
+    y, sm, sq = f1_conv_stats(u, wc.astype(dt), _col(bc[0])[None], w_img, k,
+                              reflect=reflect)
     mean, var, inv, a, cc = _finalize(sm, sq, m, _col(gac[0]), _col(bec[0]))
     out = f3_norm_skip(y, a, cc, x_skip)
     return out, (u, y, mean, inv, wc, gac), (mean[:, 0], var[:, 0])
 
 
-def _bn_close_vjp_fwd(u, x_skip, wc, bc, gac, bec, w_img, k):
-    out, saved, stats = _bn_close_fwd(u, x_skip, wc, bc, gac, bec, w_img, k)
+def _bn_close_vjp_fwd(u, x_skip, wc, bc, gac, bec, w_img, k, reflect):
+    out, saved, stats = _bn_close_fwd(u, x_skip, wc, bc, gac, bec, w_img, k,
+                                      reflect)
     return (out, stats), saved
 
 
-def _bn_close_vjp_bwd(w_img, k, saved, gs):
+def _bn_close_vjp_bwd(w_img, k, reflect, saved, gs):
     gout = gs[0]
     u, y, mean, inv, wc, gac = saved
     g, c, s = u.shape
@@ -491,7 +537,8 @@ def _bn_close_vjp_bwd(w_img, k, saved, gs):
     coef = _col(gac[0]) * inv
     # B3 with dz := gout and no skip add (x_skip's grad is gout itself)
     du, dwt, db = b3_call(gout, y, mean, inv, coef, sg / m, sgx / m,
-                          u, gout, wts, w_img, k, skip=False)
+                          u, gout, wts, w_img, k, skip=False,
+                          reflect=reflect)
     wd = wc.dtype
     return (du, gout,
             dwt.reshape(1, 3 * c, 3 * c).astype(wd),
@@ -525,15 +572,17 @@ def bn_stats_ref(y):
 
 
 def bn_resblock_ref(u, w1h, b1, ga1, be1, alpha, w2h, b2, ga2, be2,
-                    train, rm1, rv1, rm2, rv2):
+                    train, rm1, rv1, rm2, rv2, reflect=False):
     """NHWC XLA reference of the CS block (same math, lax convs).
 
     In eval mode the running stats rm/rv are used instead of batch stats.
-    Returns (out, (mean1, var1, mean2, var2)).
+    Returns (out, (mean1, var1, mean2, var2)). ``reflect=True`` uses
+    ReflectionPad2d boundaries (SRGAN generator, reference srgan.py:20-33).
     """
-    from .cs_conv import conv3x3_reference
+    from .cs_conv import conv3x3_reference, conv3x3_reflect_reference
+    conv = conv3x3_reflect_reference if reflect else conv3x3_reference
     dt = u.dtype
-    y1 = conv3x3_reference(u, w1h.astype(dt), b1)
+    y1 = conv(u, w1h.astype(dt), b1)
     if train:
         mean1, var1 = bn_stats_ref(y1)
     else:
@@ -541,7 +590,7 @@ def bn_resblock_ref(u, w1h, b1, ga1, be1, alpha, w2h, b2, ga2, be2,
     h1 = bn_apply_ref(y1, mean1, var1, ga1, be1)
     h1 = jnp.where(h1 >= 0, h1,
                    alpha.astype(jnp.float32).reshape(()) * h1).astype(dt)
-    y2 = conv3x3_reference(h1, w2h.astype(dt), b2)
+    y2 = conv(h1, w2h.astype(dt), b2)
     if train:
         mean2, var2 = bn_stats_ref(y2)
     else:
@@ -550,9 +599,11 @@ def bn_resblock_ref(u, w1h, b1, ga1, be1, alpha, w2h, b2, ga2, be2,
     return out, (mean1, var1, mean2, var2)
 
 
-def bn_close_ref(u, x_skip, wch, bc, gac, bec, train, rmc, rvc):
-    from .cs_conv import conv3x3_reference
-    y = conv3x3_reference(u, wch.astype(u.dtype), bc)
+def bn_close_ref(u, x_skip, wch, bc, gac, bec, train, rmc, rvc,
+                 reflect=False):
+    from .cs_conv import conv3x3_reference, conv3x3_reflect_reference
+    conv = conv3x3_reflect_reference if reflect else conv3x3_reference
+    y = conv(u, wch.astype(u.dtype), bc)
     if train:
         mean, var = bn_stats_ref(y)
     else:

@@ -286,6 +286,121 @@ def _gs_roll(gf, dy, s, wk, kk=3):
 
 
 # ---------------------------------------------------------------------------
+# REFLECT-boundary variants (SRGAN's generator: ReflectionPad2d + valid
+# convs, reference models/srgan.py:20-27). Zero-pad (SAME) boundaries
+# fall out of the CS layout for free: rolls are masked to zero at image
+# seams. Reflect boundaries are equally native: the mirrored neighbor IS
+# the opposite-direction roll, which a 3x3 kernel computes anyway — so
+# reflect costs a handful of masked selects/adds on the VPU and zero
+# extra MXU work. kk=3 only; requires exact plans (no dead-lane pad).
+# ---------------------------------------------------------------------------
+
+
+def _rolls_pm(x, s):
+    """(roll(+1), roll(-1)): lane p holds x[p-1] / x[p+1]."""
+    return _roll32(x, 1, s), _roll32(x, s - 1, s)
+
+
+def _build_x3_reflect(x, x3_ref, s, w):
+    """_build_x3 with REFLECT column boundaries: at each image seam the
+    out-of-image read x[p -/+ 1] becomes the mirrored in-image neighbor
+    x[p +/- 1] (torch ReflectionPad2d semantics)."""
+    c = x.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    col = lane % w
+    rp, rm = _rolls_pm(x, s)
+    x3_ref[0:c] = jnp.where(col >= 1, rp, rm)          # tap dx=-1
+    x3_ref[c:2 * c] = x
+    x3_ref[2 * c:3 * c] = jnp.where(col < w - 1, rm, rp)   # tap dx=+1
+
+
+def _dy_reduce_reflect(p, s, wk):
+    """_dy_reduce with REFLECT row boundaries: the first/last image rows
+    read the mirrored row instead of zeros."""
+    c = p.shape[0] // 3
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    out = p[c:2 * c]
+    b0, b2 = p[0:c], p[2 * c:3 * c]
+    # tap dy=-1 (b0): interior reads row p-1; row 0 mirrors to row 1
+    out = out + jnp.where(lane >= wk, pltpu.roll(b0, wk, 1),
+                          pltpu.roll(b0, s - wk, 1))
+    # tap dy=+1 (b2): interior reads row p+1; row h-1 mirrors to row h-2
+    out = out + jnp.where(lane < s - wk, pltpu.roll(b2, s - wk, 1),
+                          pltpu.roll(b2, wk, 1))
+    return out
+
+
+def _gs_roll_reflect(gf, dy, s, wk):
+    """_gs_roll plus the mirrored-row term for REFLECT dW contractions:
+    dW[dy] = act3 @ gs — boundary outputs that read a mirrored activation
+    row deposit their cotangent at the mirrored source row instead."""
+    d = dy - 1
+    if d == 0:
+        return gf
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    if d > 0:   # tap dy=+1: last-row outputs read row h-2
+        main = jnp.where(lane >= wk, _roll32(gf, wk, s), 0)
+        extra = jnp.where((lane >= s - 2 * wk) & (lane < s - wk),
+                          _roll32(gf, s - wk, s), 0)
+    else:       # tap dy=-1: row-0 outputs read row 1
+        main = jnp.where(lane < s - wk, _roll32(gf, s - wk, s), 0)
+        extra = jnp.where((lane >= wk) & (lane < 2 * wk),
+                          _roll32(gf, wk, s), 0)
+    return main + extra
+
+
+def _build_g3_reflect_T(g, g3_ref, s, w):
+    """Transposed-conv input stack under REFLECT columns.
+
+    The adjoint of a mirrored read is an ADD at the mirrored source:
+    block j (paired with tap w[-(j-1)]^T via w_cs_T) holds g[p + (j-1)]
+    plus the seam column's cotangent one column inside each edge."""
+    c = g.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    col = lane % w
+    rp, rm = _rolls_pm(g, s)
+    # block 0 pairs w_{+1}^T: reads g[p-1]; col w-2 also collects the
+    # last column's mirrored forward read
+    g3_ref[0:c] = jnp.where(col >= 1, rp, 0) + \
+        jnp.where(col == w - 2, rm, 0)
+    g3_ref[c:2 * c] = g
+    # block 2 pairs w_{-1}^T: reads g[p+1]; col 1 collects column 0's
+    g3_ref[2 * c:3 * c] = jnp.where(col < w - 1, rm, 0) + \
+        jnp.where(col == 1, rp, 0)
+
+
+def _dy_reduce_reflect_T(p, s, wk):
+    """Transposed-conv row reduce under REFLECT rows: the standard
+    zero-masked reduce plus the mirrored cotangent one row inside each
+    image edge."""
+    c = p.shape[0] // 3
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    out = p[c:2 * c]
+    b0, b2 = p[0:c], p[2 * c:3 * c]
+    # block 0 (pairs w_{+1}^T, reads g[p-wk]); row h-2 also collects the
+    # last row's mirrored forward read
+    out = out + jnp.where(lane >= wk, pltpu.roll(b0, wk, 1), 0) \
+        + jnp.where((lane >= s - 2 * wk) & (lane < s - wk),
+                    pltpu.roll(b0, s - wk, 1), 0)
+    # block 2 (pairs w_{-1}^T, reads g[p+wk]); row 1 collects row 0's
+    out = out + jnp.where(lane < s - wk, pltpu.roll(b2, s - wk, 1), 0) \
+        + jnp.where((lane >= wk) & (lane < 2 * wk),
+                    pltpu.roll(b2, wk, 1), 0)
+    return out
+
+
+def conv3x3_reflect_reference(x, w, b):
+    """XLA oracle: ReflectionPad2d(1) + VALID 3x3 conv, NHWC/HWIO."""
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((0, 0), (1, 1), (1, 1), (0, 0)), mode='reflect')
+    dn = ('NHWC', 'HWIO', 'NHWC')
+    out = jax.lax.conv_general_dilated(
+        xp, w.astype(jnp.float32), (1, 1), 'VALID',
+        dimension_numbers=dn) + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # single 3x3 conv (trunk-close conv and friends)
 # ---------------------------------------------------------------------------
 

@@ -98,6 +98,115 @@ def test_bn_resblock_grads_match_xla(data):
             err_msg=f'grad mismatch for {kk}')
 
 
+def test_bn_resblock_reflect_fwd_parity(data):
+    """reflect=True: ReflectionPad2d boundaries (SRGAN generator,
+    reference srgan.py:20-33) — fwd + batch stats vs the XLA reflect
+    oracle."""
+    x, p = data
+    C = x.shape[-1]
+    k, _ = cs_plan(x.shape)
+    out_cs, st = bn_resblock_cs(
+        nhwc_to_cs(x, k), p['w1'], p['b1'], p['ga1'], p['be1'], p['alpha'],
+        p['w2'], p['b2'], p['ga2'], p['be2'], x.shape[2], k, True)
+    got = cs_to_nhwc(out_cs, k, x.shape[1], x.shape[2])
+
+    a = _ref_args(p, C)
+    ref, st_ref = bn_resblock_ref(x, *a, True, None, None, None, None,
+                                  reflect=True)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+    for s_cs, s_rf in zip(st, st_ref):
+        np.testing.assert_allclose(s_cs, s_rf, atol=1e-4)
+    # and the reflect output differs from zero-pad at the border
+    zp, _ = bn_resblock_ref(x, *a, True, None, None, None, None)
+    assert float(jnp.max(jnp.abs(ref - zp))) > 1e-3
+
+
+def test_bn_resblock_reflect_grads_match_xla(data):
+    x, p = data
+    C = x.shape[-1]
+    k, _ = cs_plan(x.shape)
+    x_cs = nhwc_to_cs(x, k)
+    keys = ('w1', 'b1', 'ga1', 'be1', 'alpha', 'w2', 'b2', 'ga2', 'be2')
+
+    def loss_cs(inp):
+        xc, pp = inp
+        out, _ = bn_resblock_cs(xc, *[pp[kk] for kk in keys],
+                                x.shape[2], k, True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(inp):
+        xx, pp = inp
+        w1h = w_hwio_from_cs(pp['w1'], C, C)[0]
+        w2h = w_hwio_from_cs(pp['w2'], C, C)[0]
+        out, _ = bn_resblock_ref(
+            xx, w1h, pp['b1'][0], pp['ga1'][0], pp['be1'][0],
+            pp['alpha'][0], w2h, pp['b2'][0], pp['ga2'][0], pp['be2'][0],
+            True, None, None, None, None, reflect=True)
+        return jnp.sum(jnp.sin(nhwc_to_cs(out, k)))
+
+    g_cs = jax.grad(loss_cs)((x_cs, p))
+    g_rf = jax.grad(loss_ref)((x, p))
+    np.testing.assert_allclose(g_cs[0], nhwc_to_cs(g_rf[0], k), atol=2e-3)
+    for kk in keys:
+        np.testing.assert_allclose(
+            g_cs[1][kk], g_rf[1][kk], atol=2e-3,
+            err_msg=f'grad mismatch for {kk}')
+
+
+def test_bn_close_reflect_parity_and_grads(data):
+    x, p = data
+    C = x.shape[-1]
+    k, _ = cs_plan(x.shape)
+    x_cs = nhwc_to_cs(x, k)
+    skip = jnp.flip(x, axis=1)
+    skip_cs = nhwc_to_cs(skip, k)
+
+    def loss_cs(inp):
+        xc, sc, w, b, ga, be = inp
+        out, _ = bn_close_cs(xc, sc, w, b, ga, be, x.shape[2], k, True)
+        return jnp.sum(jnp.cos(out))
+
+    def loss_ref(inp):
+        xx, ss, w, b, ga, be = inp
+        wch = w_hwio_from_cs(w, C, C)[0]
+        out, _ = bn_close_ref(xx, ss, wch, b[0], ga[0], be[0],
+                              True, None, None, reflect=True)
+        return jnp.sum(jnp.cos(nhwc_to_cs(out, k)))
+
+    args_cs = (x_cs, skip_cs, p['w1'], p['b1'], p['ga1'], p['be1'])
+    args_rf = (x, skip, p['w1'], p['b1'], p['ga1'], p['be1'])
+    np.testing.assert_allclose(loss_cs(args_cs), loss_ref(args_rf),
+                               atol=1e-3)
+    g_cs = jax.grad(loss_cs)(args_cs)
+    g_rf = jax.grad(loss_ref)(args_rf)
+    np.testing.assert_allclose(g_cs[0], nhwc_to_cs(g_rf[0], k), atol=2e-3)
+    np.testing.assert_allclose(g_cs[1], nhwc_to_cs(g_rf[1], k), atol=2e-3)
+    for a, b in zip(g_cs[2:], g_rf[2:]):
+        np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_reflect_reference_matches_torch_reflectionpad():
+    """Pin conv3x3_reflect_reference to torch ReflectionPad2d + Conv2d
+    (the reference generator's conv_block, srgan.py:20-27)."""
+    import torch
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 6, 5, 4)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 4, 8)) * 0.1).astype(np.float32)
+    b = (rng.standard_normal(8) * 0.1).astype(np.float32)
+
+    from srtpu.ops.cs_conv import conv3x3_reflect_reference
+    got = conv3x3_reflect_reference(jnp.asarray(x), jnp.asarray(w),
+                                    jnp.asarray(b))
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    wt = torch.from_numpy(w.transpose(3, 2, 0, 1))
+    pad = torch.nn.ReflectionPad2d(1)
+    ref = torch.nn.functional.conv2d(pad(xt), wt, torch.from_numpy(b))
+    np.testing.assert_allclose(got, ref.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5)
+
+
 def test_bn_close_parity_and_grads(data):
     x, p = data
     C = x.shape[-1]
