@@ -730,6 +730,11 @@ class CSBNTrunk(nn.Module):
 
     n_feats: int = 64
     n_resblocks: int = 16
+    # REFLECT conv boundaries instead of SAME zero-pad — the SRGAN
+    # generator's ReflectionPad2d blocks (reference srgan.py:20-43); the
+    # CS kernels compute the mirrored neighbor as the opposite-direction
+    # roll (masked selects, no extra MXU work — srtpu.ops.cs_conv).
+    reflect: bool = False
     dtype: Dtype | None = None
 
     @nn.compact
@@ -793,11 +798,13 @@ class CSBNTrunk(nn.Module):
                 u, st = bn_resblock_ref(
                     u, w1h[i], b1[i], ga1[i], be1[i], alpha[i],
                     w2h[i], b2[i], ga2[i], be2[i], train,
-                    rm1.value[i], rv1.value[i], rm2.value[i], rv2.value[i])
+                    rm1.value[i], rv1.value[i], rm2.value[i], rv2.value[i],
+                    reflect=self.reflect)
                 m1.append(st[0]); v1.append(st[1])
                 m2.append(st[2]); v2.append(st[3])
             out, stc = bn_close_ref(u, xd, wch, bc[0], gac[0], bec[0],
-                                    train, rmc.value[0], rvc.value[0])
+                                    train, rmc.value[0], rvc.value[0],
+                                    reflect=self.reflect)
         else:
             k, _ = plan
             w_img = x.shape[2]
@@ -807,10 +814,11 @@ class CSBNTrunk(nn.Module):
                 u, st = bn_resblock_cs(
                     u, w1[i:i + 1], b1[i:i + 1], ga1[i:i + 1],
                     be1[i:i + 1], alpha[i:i + 1], w2[i:i + 1], b2[i:i + 1],
-                    ga2[i:i + 1], be2[i:i + 1], w_img, k)
+                    ga2[i:i + 1], be2[i:i + 1], w_img, k, self.reflect)
                 m1.append(st[0]); v1.append(st[1])
                 m2.append(st[2]); v2.append(st[3])
-            out_cs, stc = bn_close_cs(u, xc, wc, bc, gac, bec, w_img, k)
+            out_cs, stc = bn_close_cs(u, xc, wc, bc, gac, bec, w_img, k,
+                                      self.reflect)
             out = out_cs if emit_cs else \
                 cs_to_nhwc(out_cs, k, x.shape[1], w_img)
 

@@ -15,7 +15,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import Conv2d, PReLU, UpscaleBlock
+from .common import Conv2d, CSBNTrunk, PReLU, UpscaleBlock
 
 
 def _reflect_pad(x, p: int):
@@ -43,12 +43,22 @@ class _SRGANBlock(nn.Module):
 
 
 class SRGANGenerator(nn.Module):
-    """Reference models/srgan.py:18-48 (_SRResNet)."""
+    """Reference models/srgan.py:18-48 (_SRResNet).
+
+    ``use_pallas='cs'`` runs the 16-block BN trunk + closing conv/BN/skip
+    on the fused CS kernel path with REFLECT boundaries
+    (CSBNTrunk(reflect=True) — the mirrored neighbor is the
+    opposite-direction roll the 3x3 kernels already compute, see
+    srtpu/ops/cs_conv.py). The 9x9 head/output convs and the upscale
+    stay XLA (reflect 9x9 has no phase-dense form). Off-plan shapes and
+    non-TPU backends fall back to identical XLA math inside CSBNTrunk.
+    """
 
     scale_factor: int = 4
     channels: int = 3
     ngf: int = 64
     n_blocks: int = 16
+    use_pallas: Any = 'cs'
     dtype: Any = None
 
     @nn.compact
@@ -57,14 +67,18 @@ class SRGANGenerator(nn.Module):
                    dtype=self.dtype)(_reflect_pad(x, 4))
         x = PReLU()(x)
 
-        res = x
-        for _ in range(self.n_blocks):
-            res = _SRGANBlock(self.ngf, dtype=self.dtype)(res, train)
-        res = Conv2d(self.ngf, 3, padding='valid',
-                     dtype=self.dtype)(_reflect_pad(res, 1))
-        res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype)(res)
-        x = x + res
+        if self.use_pallas == 'cs':
+            x = CSBNTrunk(n_feats=self.ngf, n_resblocks=self.n_blocks,
+                          reflect=True, dtype=self.dtype)(x, train)
+        else:
+            res = x
+            for _ in range(self.n_blocks):
+                res = _SRGANBlock(self.ngf, dtype=self.dtype)(res, train)
+            res = Conv2d(self.ngf, 3, padding='valid',
+                         dtype=self.dtype)(_reflect_pad(res, 1))
+            res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, dtype=self.dtype)(res)
+            x = x + res
 
         x = UpscaleBlock(self.scale_factor, self.ngf, act=PReLU,
                          dtype=self.dtype)(x)
@@ -122,11 +136,13 @@ class SRGAN(nn.Module):
     ngf: int = 64
     ndf: int = 64
     n_blocks: int = 16
+    use_pallas: Any = 'cs'
     dtype: Any = None
 
     def setup(self):
         self.generator = SRGANGenerator(self.scale_factor, self.channels,
-                                        self.ngf, self.n_blocks, self.dtype)
+                                        self.ngf, self.n_blocks,
+                                        self.use_pallas, self.dtype)
         self.discriminator = SRGANDiscriminator(self.ndf, self.dtype)
 
     def __call__(self, x, train: bool = False):

@@ -308,6 +308,29 @@ def test_csbn_trunk_cs_matches_fallback(monkeypatch):
                                    err_msg=kk)
 
 
+def test_csbn_trunk_reflect_cs_matches_fallback(monkeypatch):
+    """CSBNTrunk(reflect=True): CS kernel path == XLA reflect fallback
+    (the SRGAN generator trunk, reference srgan.py:20-43)."""
+    from srtpu.models.common import CSBNTrunk
+    from srtpu.ops import cs_conv
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, 16)), jnp.float32)
+    trunk = CSBNTrunk(n_feats=16, n_resblocks=2, reflect=True)
+    vs = trunk.init(jax.random.PRNGKey(1), x, train=True)
+
+    out_cs, upd_cs = trunk.apply(vs, x, train=True,
+                                 mutable=['batch_stats'])
+    monkeypatch.setattr(cs_conv, 'cs_plan', lambda shape: None)
+    out_rf, upd_rf = trunk.apply(vs, x, train=True,
+                                 mutable=['batch_stats'])
+    np.testing.assert_allclose(out_cs, out_rf, atol=2e-4)
+    for kk in upd_cs['batch_stats']:
+        np.testing.assert_allclose(upd_cs['batch_stats'][kk],
+                                   upd_rf['batch_stats'][kk], atol=1e-4,
+                                   err_msg=kk)
+
+
 @pytest.mark.slow
 def test_srresnet_cs_train_step():
     """SRResNet(use_pallas='cs') end-to-end: fit one step, loss finite,

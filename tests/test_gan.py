@@ -239,3 +239,58 @@ def test_gan_fit_honors_overfit_and_accumulation(tmp_path):
         jax.random.PRNGKey(42), jnp.zeros((2, 8, 8, 3))).g_params
     g0_leaf = np.asarray(jax.tree_util.tree_leaves(g0)[0])
     np.testing.assert_allclose(g_new, g0_leaf, atol=1e-7)
+
+
+def test_generator_cs_rewiring_matches_legacy_blocks():
+    """SRGANGenerator(use_pallas='cs') == the legacy per-module formulation
+    on the same weights (reference srgan.py:18-48): the CSBNTrunk rewiring
+    changes the parameter layout, not the math. Runs the XLA reflect
+    fallback on CPU; the CS kernels themselves are pinned in
+    tests/test_bn_cs.py reflect parity tests."""
+    from srtpu.ops.cs_conv import w_cs
+
+    ngf, nb = 8, 2
+    g_old = SRGANGenerator(scale_factor=2, ngf=ngf, n_blocks=nb,
+                           use_pallas=False)
+    g_new = SRGANGenerator(scale_factor=2, ngf=ngf, n_blocks=nb,
+                           use_pallas='cs')
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 12, 12, 3))
+    vo = g_old.init(jax.random.PRNGKey(0), x, train=True)
+    vn = jax.tree_util.tree_map(lambda a: a,
+                                g_new.init(jax.random.PRNGKey(1), x,
+                                           train=True))
+
+    po = vo['params']
+    trunk = {
+        'w1': jnp.stack([w_cs(po[f'_SRGANBlock_{i}']['Conv2d_0']['kernel'])
+                         for i in range(nb)]),
+        'b1': jnp.stack([po[f'_SRGANBlock_{i}']['Conv2d_0']['bias']
+                         for i in range(nb)]),
+        'bn1_scale': jnp.stack([po[f'_SRGANBlock_{i}']['BatchNorm_0']
+                                ['scale'] for i in range(nb)]),
+        'bn1_bias': jnp.stack([po[f'_SRGANBlock_{i}']['BatchNorm_0']
+                               ['bias'] for i in range(nb)]),
+        'alpha': jnp.stack([po[f'_SRGANBlock_{i}']['PReLU_0']['alpha']
+                            for i in range(nb)]),
+        'w2': jnp.stack([w_cs(po[f'_SRGANBlock_{i}']['Conv2d_1']['kernel'])
+                         for i in range(nb)]),
+        'b2': jnp.stack([po[f'_SRGANBlock_{i}']['Conv2d_1']['bias']
+                         for i in range(nb)]),
+        'bn2_scale': jnp.stack([po[f'_SRGANBlock_{i}']['BatchNorm_1']
+                                ['scale'] for i in range(nb)]),
+        'bn2_bias': jnp.stack([po[f'_SRGANBlock_{i}']['BatchNorm_1']
+                               ['bias'] for i in range(nb)]),
+        'close_w': w_cs(po['Conv2d_1']['kernel'])[None],
+        'close_b': po['Conv2d_1']['bias'][None],
+        'close_bn_scale': po['BatchNorm_0']['scale'][None],
+        'close_bn_bias': po['BatchNorm_0']['bias'][None],
+    }
+    pn = {'Conv2d_0': po['Conv2d_0'], 'PReLU_0': po['PReLU_0'],
+          'UpscaleBlock_0': po['UpscaleBlock_0'],
+          'Conv2d_1': po['Conv2d_2'], 'CSBNTrunk_0': trunk}
+
+    out_old = g_old.apply(vo, x, train=True, mutable=['batch_stats'])[0]
+    out_new = g_new.apply(
+        {'params': pn, 'batch_stats': vn['batch_stats']}, x, train=True,
+        mutable=['batch_stats'])[0]
+    np.testing.assert_allclose(out_new, out_old, atol=2e-5)
