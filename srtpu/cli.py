@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
                           "export works without the target hardware")
     exp.add_argument('--mlir', default=None,
                      help='also write human-readable StableHLO text here')
+    exp.add_argument('--tile', type=int, default=0,
+                     help='>0: embed the in-jit tile-batched kernel-path '
+                          'forward (train/steps.py make_tiled_predict_step)'
+                          ' — on a TPU lowering host the artifact then '
+                          'contains the CS Mosaic kernels (+18%% serving '
+                          'rate, PERF.md r5); 0 = plain full-image forward')
+    exp.add_argument('--tile-overlap', type=int, default=8,
+                     help='LR px halo per tile edge for --tile')
     exp.add_argument('overrides', nargs='*',
                      help='dotted key=value overrides (data.* honored)')
     return parser
@@ -271,11 +279,18 @@ def cmd_export(args) -> int:
     Produces a single self-contained artifact (weights baked in as
     constants, static input shape) loadable with
     ``jax.export.deserialize(blob).call(lr)`` — the TPU-native analog of
-    a TorchScript/ONNX serving export, which the reference lacks. The
-    compute path lowered is the portable XLA one: the CS Pallas kernels
-    gate on the *lowering host's* backend and on shapes, so exports from
-    a CPU host (and all large serving shapes) use plain XLA convs with
-    the same parameters.
+    a TorchScript/ONNX serving export, which the reference lacks.
+
+    Which conv path the artifact embeds (round-tripped + documented,
+    VERDICT r4 #6): with ``--tile 0`` (default) the full-image forward is
+    lowered, and the CS Pallas kernels gate on the *lowering host's*
+    backend AND the shape — serving-size images exceed every CS plan, so
+    plain-export artifacts contain portable XLA convs from any host.
+    With ``--tile > 0`` the in-jit tile-batched forward is lowered: on a
+    TPU lowering host the artifact embeds the Mosaic custom calls
+    (tpu-only, +18%% serving rate, PERF.md r5 serving section); on a CPU
+    host the tiles still gate to XLA convs, so cross-platform exports
+    stay portable.
     """
     import jax
     import jax.numpy as jnp
@@ -285,12 +300,19 @@ def cmd_export(args) -> int:
     scale = int(data.get('scale_factor', 4))
     h, w = (int(v) for v in args.size.lower().split('x'))
 
-    def serve(lr):
-        variables = {'params': state.params}
-        if state.batch_stats:
-            variables['batch_stats'] = state.batch_stats
-        sr = state.apply_fn(variables, lr, train=False)
-        return jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
+    if args.tile > 0:
+        from srtpu.train.steps import make_tiled_predict_step
+        tiled = make_tiled_predict_step(scale, args.tile, args.tile_overlap)
+
+        def serve(lr):
+            return tiled(state, lr)  # clipped f32 (make_tiled_predict_step)
+    else:
+        def serve(lr):
+            variables = {'params': state.params}
+            if state.batch_stats:
+                variables['batch_stats'] = state.batch_stats
+            sr = state.apply_fn(variables, lr, train=False)
+            return jnp.clip(sr.astype(jnp.float32), 0.0, 1.0)
 
     spec = jax.ShapeDtypeStruct((args.batch, h, w, 3), jnp.float32)
     platforms = args.platforms or [jax.default_backend()]

@@ -171,6 +171,47 @@ def test_cli_export_roundtrip(tiny_dataset, tmp_path):
     np.testing.assert_allclose(got, want, atol=5e-3)
 
 
+def test_cli_export_tiled_roundtrip(tiny_dataset, tmp_path):
+    """`srtpu export --tile N` embeds the in-jit tile-batched forward
+    (VERDICT r4 #6): the artifact stitches tile batches to the same
+    output as the plain full-image export, within the measured seam
+    tolerance (PERF.md r5 serving section). On CPU the tiles gate to
+    XLA convs; on a TPU lowering host the same flag embeds the Mosaic
+    custom calls (round-tripped there by tools/export_roundtrip.py)."""
+    import jax.numpy as jnp
+    from jax import export as jax_export
+    from srtpu.cli import cli_main
+
+    root = tmp_path / 'expt'
+    rc = cli_main([
+        'fit', f'data.datasets_dir={tiny_dataset}',
+        'data.train_datasets=[Tr]', 'data.eval_datasets=[Va]',
+        'data.batch_size=2', 'data.patch_size=16', 'data.scale_factor=2',
+        'data.eval_bucket=16', 'model.class_path=SRCNN',
+        'trainer.max_epochs=1', 'trainer.check_val_every_n_epoch=1',
+        'trainer.num_sanity_val_steps=0',
+        f'trainer.default_root_dir={root}', 'trainer.monitor=Va/PSNR',
+    ])
+    assert rc == 0
+    plain, tiled = tmp_path / 'plain.jaxexp', tmp_path / 'tiled.jaxexp'
+    ck = str(root / 'checkpoints')
+    assert cli_main(['export', '--checkpoint', ck, '--out', str(plain),
+                     '--batch', '1', '--size', '32x32']) == 0
+    assert cli_main(['export', '--checkpoint', ck, '--out', str(tiled),
+                     '--batch', '1', '--size', '32x32', '--tile', '16',
+                     '--tile-overlap', '4']) == 0
+
+    lr = jnp.asarray(np.random.default_rng(1).random((1, 32, 32, 3)),
+                     jnp.float32)
+    got_p = np.asarray(jax_export.deserialize(plain.read_bytes()).call(lr))
+    got_t = np.asarray(jax_export.deserialize(tiled.read_bytes()).call(lr))
+    assert got_t.shape == (1, 64, 64, 3)
+    # SRCNN receptive radius (9x9+5x5+5x5 = r=8) vs overlap 4: bounded
+    # seam residue, same tolerance class as the measured serving A/B
+    np.testing.assert_allclose(got_t, got_p, atol=2e-2)
+    assert float(np.abs(got_t - got_p).mean()) < 2e-3
+
+
 @pytest.mark.slow
 def test_cli_fit_srgan_e2e(tiny_dataset, tmp_path):
     """SRGAN through the real CLI: config layer -> Trainer auto-dispatch
