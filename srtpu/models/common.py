@@ -398,6 +398,10 @@ class CSTrunk(nn.Module):
                 kp, gp, s_pad = pp
                 plan = (kp, gp)
                 s_valid = x.shape[1] * x.shape[2] * kp
+        from srtpu.ops.cs_conv import log_path
+        log_path('CSTrunk', x.shape,
+                 'xla' if plan is None else
+                 ('cs-padded' if s_pad else 'cs'))
         if plan is None:
             from srtpu.ops.cs_conv import w_hwio_from_cs
             w1h = w_hwio_from_cs(w1, n, n)
@@ -566,6 +570,9 @@ class CSUpscaleTail(nn.Module):
                 and (cs is None or plan[0] == cs[0]) \
                 and (cs is None or s_pad is None or x.shape[-1] == s_pad)
 
+        from srtpu.ops.cs_conv import log_path
+        log_path('CSUpscaleTail', (b, h, w, n),
+                 ('cs-padded' if s_pad else 'cs') if ok else 'xla')
         if not ok:
             y = (x if cs is None else cs_to_nhwc(x, cs[0], h, w)) \
                 .astype(dtype)
@@ -787,6 +794,8 @@ class CSBNTrunk(nn.Module):
         xd = x.astype(dtype)
         # train-only + lane-bound gate (see CSTrunk on the channel cap)
         plan = cs_plan(x.shape) if train and n <= 96 else None
+        from srtpu.ops.cs_conv import log_path
+        log_path('CSBNTrunk', x.shape, 'xla' if plan is None else 'cs')
         m1, v1, m2, v2 = [], [], [], []
 
         if plan is None:

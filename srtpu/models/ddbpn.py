@@ -301,6 +301,8 @@ class DDBPN(nn.Module):
         # x8's 64*nr-wide phase-major stacks outgrow the kernels' VMEM
         # budget — kernel path covers x2/x4, x8 takes the XLA formulation
         plan = cs_plan(x.shape) if r in (2, 4) else None
+        from srtpu.ops.cs_conv import log_path
+        log_path('CSDDBPN', x.shape, 'xla' if plan is None else 'cs')
         ctx = None
         if plan is not None:
             k = plan[0]

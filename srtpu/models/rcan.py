@@ -236,6 +236,8 @@ class RCAN(nn.Module):
         # bound, but the layout only wins while C under-fills the 128 MXU
         # lanes and the (3C, S) im2col stacks fit block VMEM
         plan = cs_plan(x.shape) if n <= 96 else None
+        from srtpu.ops.cs_conv import log_path
+        log_path('CSRCANTrunk', x.shape, 'xla' if plan is None else 'cs')
         if plan is None:
             res = xd
             for grp in groups:

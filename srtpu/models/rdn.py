@@ -136,6 +136,8 @@ class RDN(nn.Module):
         # S<=1024: the widest dense layer's double-buffered (c_in, S)
         # blocks must fit VMEM alongside the chunk scratches
         plan = cs_plan_s(f1.shape, 1024, 1088)
+        from srtpu.ops.cs_conv import log_path
+        log_path('CSRDNTrunk', f1.shape, 'xla' if plan is None else 'cs')
         if plan is None:
             return self._xla_trunk_from_cs_params(
                 f1d, D, C, G, G0, sfe2_w, sfe2_b, ws, bs, wfs, bfs,

@@ -52,13 +52,21 @@ class SRGANGenerator(nn.Module):
     srtpu/ops/cs_conv.py). The 9x9 head/output convs and the upscale
     stay XLA (reflect 9x9 has no phase-dense form). Off-plan shapes and
     non-TPU backends fall back to identical XLA math inside CSBNTrunk.
+
+    Default is the XLA formulation — a MEASURED negative (PERF.md r5):
+    one-process interleaved A/B of the full adversarial step read CS
+    20.52 ms vs XLA 19.22 ms (-6.7%). Reflect's mirror terms add ~10
+    extra full-width VPU rolls per block across fwd+bwd, outweighing the
+    CS layout's MXU win at C=64; the 'cs' path stays available, exact
+    (gradient-parity tests in tests/test_bn_cs.py) for shapes where the
+    trade flips.
     """
 
     scale_factor: int = 4
     channels: int = 3
     ngf: int = 64
     n_blocks: int = 16
-    use_pallas: Any = 'cs'
+    use_pallas: Any = False
     dtype: Any = None
 
     @nn.compact
@@ -136,7 +144,7 @@ class SRGAN(nn.Module):
     ngf: int = 64
     ndf: int = 64
     n_blocks: int = 16
-    use_pallas: Any = 'cs'
+    use_pallas: Any = False   # measured negative (see SRGANGenerator)
     dtype: Any = None
 
     def setup(self):

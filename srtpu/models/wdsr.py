@@ -158,6 +158,9 @@ class WDSR(nn.Module):
             plan = cs_plan_s(
                 (x.shape[0], x.shape[1], x.shape[2], self.n_feats),
                 1024, 1088)
+            from srtpu.ops.cs_conv import log_path
+            log_path('CSWDSRTrunk', x.shape,
+                     'xla' if plan is None else 'cs')
             if plan is not None:
                 k, _ = plan
                 w_img = x.shape[2]

@@ -44,6 +44,18 @@ from jax.experimental.pallas import tpu as pltpu
 S_TARGET = 4096          # lanes per group the kernels are tuned for
 S_MAX = 8320             # VMEM ceiling for the fused resblock at C=64
 
+# Trace-time record of which compute path each CS module took, keyed by
+# (module class, input shape) -> 'cs' | 'cs-padded' | 'xla'. Filled when
+# a module's gate decides (i.e. at jit trace, not per step). Lets tools
+# and tests assert "the kernels actually engaged for this config"
+# instead of inferring it from throughput (VERDICT r4 #8: no silent
+# fallback cells in the zoo x scale table).
+PATH_LOG: dict = {}
+
+
+def log_path(module: str, shape, path: str) -> None:
+    PATH_LOG[(module, tuple(int(d) for d in shape))] = path
+
 
 def cs_plan(shape: tuple[int, ...]) -> tuple[int, int] | None:
     """(k, G) packing for (B, H, W, C), or None when unsupported.

@@ -48,9 +48,10 @@ def test_rdn_default_is_cs():
     assert create_model('RDN', scale_factor=2).use_pallas == 'cs'
 
 
-@pytest.mark.parametrize('name', ['WDSR', 'SRCNN'])
+@pytest.mark.parametrize('name', ['WDSR', 'SRCNN', 'SRGAN'])
 def test_measured_negatives_stay_xla(name):
-    """WDSR-B loses on the CS path and SRCNN has no kernels (PERF.md) —
+    """WDSR-B loses on the CS path, SRCNN has no kernels, and SRGAN's
+    reflect-CS trunk measured -6.7% on the adversarial step (PERF.md) —
     their defaults must remain the honest XLA formulation."""
     model = create_model(name, scale_factor=2)
     assert not getattr(model, 'use_pallas', False)
