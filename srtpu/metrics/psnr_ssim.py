@@ -41,17 +41,24 @@ def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
     coords = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
     g = np.exp(-(coords ** 2) / (2 * sigma ** 2))
     g /= g.sum()
-    return np.outer(g, g).astype(np.float32)
+    return g.astype(np.float32)
 
 
 def _filter2(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Depthwise valid conv of NHWC with a single 2D kernel."""
+    """Depthwise valid gaussian blur of NHWC, SEPARABLE: two 1D passes
+    (11+11 MACs/px) instead of one 2D conv (121 MACs/px) — the gaussian
+    window factors exactly, and on full eval images (2048x1408) the five
+    blurs per SSIM dominated the whole eval step (PERF.md r5)."""
     c = x.shape[-1]
-    k = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))
+    kh = jnp.tile(kernel[:, None, None, None], (1, 1, 1, c))
+    kw = jnp.tile(kernel[None, :, None, None], (1, 1, 1, c))
+    dn = ('NHWC', 'HWIO', 'NHWC')
+    x = jax.lax.conv_general_dilated(
+        x, kh, window_strides=(1, 1), padding='VALID',
+        feature_group_count=c, dimension_numbers=dn)
     return jax.lax.conv_general_dilated(
-        x, k, window_strides=(1, 1), padding='VALID',
-        feature_group_count=c,
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        x, kw, window_strides=(1, 1), padding='VALID',
+        feature_group_count=c, dimension_numbers=dn)
 
 
 def _ssim_per_channel(sr, hr, kernel, k1=0.01, k2=0.03, data_range=1.0):
