@@ -81,18 +81,20 @@ def main():
     print(f'tiled-vs-plain (seam residue) max|d|='
           f'{np.abs(want_t - want_p).max():.2e}', flush=True)
 
-    # timing: interleaved two-window slopes
+    # timing: interleaved two-window slopes. Artifact calls are wrapped
+    # in jax.jit — the serving pattern: bare exp.call re-traces per
+    # invocation and measured +10 ms/img of host overhead (r5 first run).
     paths = {'inproc plain': lambda x: plain(state, x),
              'inproc tiled': lambda x: tiled(state, x),
-             'artifact plain': arts['plain'].call,
-             'artifact tiled': arts['tiled'].call}
+             'artifact plain': jax.jit(arts['plain'].call),
+             'artifact tiled': jax.jit(arts['tiled'].call)}
 
     def window(fn, n):
         t0 = time.perf_counter()
         out = None
         for _ in range(n):
             out = fn(lr)
-        float(np.asarray(out)[0, 0, 0, 0])
+        float(out[0, 0, 0, 0])   # single-element fetch = the true sync
         return time.perf_counter() - t0
 
     for fn in paths.values():
