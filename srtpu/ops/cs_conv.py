@@ -2049,8 +2049,16 @@ def _rdn2_vjp_fwd(x_cs, ws, bs, wfs, bfs, w_img, k):
 
 
 # dW accumulator VMEM budget: pairs are split so one call's (p, 3, G, 3G)
-# f32 block stays well under the scoped limit next to buf + dout blocks
+# f32 block stays well under the scoped limit next to buf + dout blocks.
+# Read at TRACE time — tools/ab_rdn_dw.py A/Bs values in one process.
 _DW_PAIRS_PER_CALL = 18
+# dW layout conversion: 'per-block' (default, measured best) converts
+# each block's pair-major grads separately — the many small copies
+# overlap the kernel stream; 'batched' (one transpose per layer across
+# all D blocks) measured 5.5% SLOWER (23.68 vs 22.37 ms, one-process
+# A/B tools/ab_rdn_dw.py, PERF.md r5 RDN close-out) because the big
+# transposes depend on every block's dW and serialize at the graph tail.
+_RDN_DW_LAYOUT = 'per-block'
 
 
 def _rdn2_vjp_bwd(w_img, k, res, cts):
@@ -2080,13 +2088,29 @@ def _rdn2_vjp_bwd(w_img, k, res, cts):
             [rdb_bwd_dw(bufs[l], dout, h, w_img, k, g0) for h in halves],
             axis=0)
 
-    dws_layers = [_dw_pairs_to_layers(dwts[l], n_layers, g0)
-                  for l in range(d)]
-    dws = tuple(jnp.stack([dws_layers[l][i] for l in range(d)])
-                for i in range(n_layers))
-    dbs = tuple(jnp.stack([db[l][i] for l in range(d)])
-                for i in range(n_layers))
-    return (g, dws, dbs, jnp.stack(dwf), jnp.stack(dbf))
+    if _RDN_DW_LAYOUT == 'per-block':   # legacy A/B control
+        dws_layers = [_dw_pairs_to_layers(dwts[l], n_layers, g0)
+                      for l in range(d)]
+        dws = tuple(jnp.stack([dws_layers[l][i] for l in range(d)])
+                    for i in range(n_layers))
+        dbs = tuple(jnp.stack([db[l][i] for l in range(d)])
+                    for i in range(n_layers))
+        return (g, dws, dbs, jnp.stack(dwf), jnp.stack(dbf))
+    # pair-major -> stored per-layer CS arrangement, batched over all D
+    # blocks (one transpose per LAYER, not per (block, layer): the
+    # round-5 RDN profile showed the per-block conversion contributing
+    # to 750+ async copy ops per step around 78%-busy kernels)
+    dwts_all = jnp.stack(dwts)            # (D, n_pairs, 3, G, 3G)
+    db_all = jnp.stack(db)                # (D, n_layers, G)
+    dws, off = [], 0
+    for i in range(n_layers):
+        n = i + 1
+        v = dwts_all[:, off:off + n].reshape(d, n, 3, g0, 3, g0)
+        dws.append(v.transpose(0, 2, 3, 4, 1, 5)
+                   .reshape(d, 3 * g0, 3 * n * g0))
+        off += n
+    dbs = tuple(db_all[:, i] for i in range(n_layers))
+    return (g, tuple(dws), dbs, jnp.stack(dwf), jnp.stack(dbf))
 
 
 rdn_trunk_cs2.defvjp(_rdn2_vjp_fwd, _rdn2_vjp_bwd)
