@@ -24,9 +24,13 @@ Run ALONE on the TPU host (rule 1/5):
 
 from __future__ import annotations
 
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SMALL, BIG, REPEATS = 4, 20, 4
 
