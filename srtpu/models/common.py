@@ -754,8 +754,8 @@ class CSBNTrunk(nn.Module):
         from srtpu.ops.bn_resblock_cs import (bn_close_cs, bn_close_ref,
                                               bn_resblock_cs,
                                               bn_resblock_ref)
-        from srtpu.ops.cs_conv import (cs_plan, cs_to_nhwc, nhwc_to_cs,
-                                       w_hwio_from_cs)
+        from srtpu.ops.cs_conv import (cs_plan, cs_plan_pad, cs_to_nhwc,
+                                       nhwc_to_cs, w_hwio_from_cs)
         n, nb = self.n_feats, self.n_resblocks
         bound = 1.0 / math.sqrt(9 * n)
         ones = nn.initializers.ones
@@ -794,8 +794,22 @@ class CSBNTrunk(nn.Module):
         xd = x.astype(dtype)
         # train-only + lane-bound gate (see CSTrunk on the channel cap)
         plan = cs_plan(x.shape) if train and n <= 96 else None
+        s_pad = s_valid = None
+        if plan is None and train and n <= 96 and not self.reflect:
+            # lane-unaligned S (the scale-3 42x42 recipe): dead-lane
+            # padded packing — batch stats reduce over s_valid real
+            # lanes only (srtpu.ops.bn_resblock_cs). Reflect boundaries
+            # (SRGAN) are excluded: the mirror rolls have no pad-boundary
+            # logic, and SRGAN's 32x32 LR shapes are always aligned.
+            pp = cs_plan_pad(x.shape)
+            if pp is not None:
+                kp, gp, s_pad = pp
+                plan = (kp, gp)
+                s_valid = x.shape[1] * x.shape[2] * kp
         from srtpu.ops.cs_conv import log_path
-        log_path('CSBNTrunk', x.shape, 'xla' if plan is None else 'cs')
+        log_path('CSBNTrunk', x.shape,
+                 'xla' if plan is None else
+                 ('cs-padded' if s_pad else 'cs'))
         m1, v1, m2, v2 = [], [], [], []
 
         if plan is None:
@@ -817,17 +831,18 @@ class CSBNTrunk(nn.Module):
         else:
             k, _ = plan
             w_img = x.shape[2]
-            xc = nhwc_to_cs(xd, k)
+            xc = nhwc_to_cs(xd, k, s_pad)
             u = xc
             for i in range(nb):
                 u, st = bn_resblock_cs(
                     u, w1[i:i + 1], b1[i:i + 1], ga1[i:i + 1],
                     be1[i:i + 1], alpha[i:i + 1], w2[i:i + 1], b2[i:i + 1],
-                    ga2[i:i + 1], be2[i:i + 1], w_img, k, self.reflect)
+                    ga2[i:i + 1], be2[i:i + 1], w_img, k, self.reflect,
+                    s_valid)
                 m1.append(st[0]); v1.append(st[1])
                 m2.append(st[2]); v2.append(st[3])
             out_cs, stc = bn_close_cs(u, xc, wc, bc, gac, bec, w_img, k,
-                                      self.reflect)
+                                      self.reflect, s_valid)
             out = out_cs if emit_cs else \
                 cs_to_nhwc(out_cs, k, x.shape[1], w_img)
 

@@ -121,11 +121,11 @@ class CSResidualGroup(nn.Module):
         self.wc = self.param('wc', _u_init(cb), (3 * n, 3 * n))
         self.bc = self.param('bc', _u_init(cb), (n,))
 
-    def cs_apply(self, x_cs, h_img, w_img, k):
+    def cs_apply(self, x_cs, h_img, w_img, k, s_valid=None):
         from srtpu.ops.cs_conv import resgroup_ca_cs
         return resgroup_ca_cs(x_cs, self.w1, self.b1, self.w2, self.b2,
                               self.wd, self.bd, self.wu, self.bu,
-                              self.wc, self.bc, h_img, w_img, k)
+                              self.wc, self.bc, h_img, w_img, k, s_valid)
 
     def xla_apply(self, x):
         """Fallback for shapes the CS packing doesn't support."""
@@ -219,8 +219,8 @@ class RCAN(nn.Module):
         layout (one conversion each way); XLA fallback off-plan."""
         import math
         from srtpu.ops.cs_conv import (conv3x3_cs_pre, conv3x3_reference,
-                                       cs_plan, cs_to_nhwc, nhwc_to_cs,
-                                       w_hwio_from_cs)
+                                       cs_plan, cs_plan_pad, cs_to_nhwc,
+                                       nhwc_to_cs, w_hwio_from_cs)
         n = self.n_feats
         groups = [CSResidualGroup(n_feats=n, reduction=self.reduction,
                                   n_resblocks=self.n_resblocks,
@@ -236,8 +236,20 @@ class RCAN(nn.Module):
         # bound, but the layout only wins while C under-fills the 128 MXU
         # lanes and the (3C, S) im2col stacks fit block VMEM
         plan = cs_plan(x.shape) if n <= 96 else None
+        s_pad = s_valid = None
+        if plan is None and n <= 96:
+            # lane-unaligned S (the scale-3 42x42 recipe): dead-lane
+            # padded packing — the CA segment pools mask the pad tail
+            # (srtpu.ops.cs_conv resgroup_ca_cs s_valid)
+            pp = cs_plan_pad(x.shape)
+            if pp is not None:
+                kp, gp, s_pad = pp
+                plan = (kp, gp)
+                s_valid = x.shape[1] * x.shape[2] * kp
         from srtpu.ops.cs_conv import log_path
-        log_path('CSRCANTrunk', x.shape, 'xla' if plan is None else 'cs')
+        log_path('CSRCANTrunk', x.shape,
+                 'xla' if plan is None else
+                 ('cs-padded' if s_pad else 'cs'))
         if plan is None:
             res = xd
             for grp in groups:
@@ -247,9 +259,9 @@ class RCAN(nn.Module):
 
         k, _ = plan
         h_img, w_img = x.shape[1], x.shape[2]
-        xc = nhwc_to_cs(xd, k)
+        xc = nhwc_to_cs(xd, k, s_pad)
         res = xc
         for grp in groups:
-            res = grp.cs_apply(res, h_img, w_img, k)
-        res = conv3x3_cs_pre(res, wt, bt, w_img, k) + xc
+            res = grp.cs_apply(res, h_img, w_img, k, s_valid)
+        res = conv3x3_cs_pre(res, wt, bt, w_img, k, s_valid) + xc
         return cs_to_nhwc(res, k, h_img, w_img)

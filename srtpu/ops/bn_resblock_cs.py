@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .cs_conv import (_build_g3_reflect_T, _build_x3, _build_x3_reflect,
                       _cp, _dy_reduce, _dy_reduce_reflect,
                       _dy_reduce_reflect_T, _gs_roll, _gs_roll_reflect,
-                      _interpret, _stk, w_cs_T_from_cs)
+                      _interpret, _stk, _zpad, w_cs_T_from_cs)
 
 EPS = 1e-5
 
@@ -101,15 +101,20 @@ def _gsr(reflect):
 
 
 def _f1_kernel(u_ref, w_ref, b_ref, y_ref, sm_ref, sq_ref, x3_ref,
-               *, w_img, wk, reflect=False):
-    """conv(u) -> y; accumulate per-channel sum / sum-of-squares of y."""
+               *, w_img, wk, reflect=False, s_valid=None):
+    """conv(u) -> y; accumulate per-channel sum / sum-of-squares of y.
+
+    s_valid (dead-lane padded plans, cs_plan_pad): outputs are re-zeroed
+    on the pad tail — the bias add would otherwise leave b on dead lanes
+    and poison both the next conv's boundary reads and the stat sums.
+    """
     gid = pl.program_id(0)
     u = u_ref[0]
     c, s = u.shape
     build, reduce_ = _bld(reflect)
     build(u, x3_ref, s, w_img)
     p = jnp.dot(w_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
-    y = (reduce_(p, s, wk) + b_ref[0]).astype(y_ref.dtype)
+    y = _zpad(reduce_(p, s, wk) + b_ref[0], s_valid).astype(y_ref.dtype)
     y_ref[0] = y
 
     @pl.when(gid == 0)
@@ -123,17 +128,21 @@ def _f1_kernel(u_ref, w_ref, b_ref, y_ref, sm_ref, sq_ref, x3_ref,
 
 
 def _f2_kernel(y1_ref, a1_ref, c1_ref, al_ref, w_ref, b_ref,
-               y2_ref, sm_ref, sq_ref, x3_ref, *, w_img, wk, reflect=False):
+               y2_ref, sm_ref, sq_ref, x3_ref, *, w_img, wk, reflect=False,
+               s_valid=None):
     """h1 = prelu(a1*y1 + c1); conv(h1) -> y2; accumulate y2 stats."""
     gid = pl.program_id(0)
     y1 = y1_ref[0]
     c, s = y1.shape
     z = a1_ref[...] * y1.astype(jnp.float32) + c1_ref[...]
-    h1 = jnp.where(z >= 0, z, al_ref[...] * z).astype(y1.dtype)
+    # z = c1 on dead lanes (y1's pad tail is zero but c1 is a constant):
+    # re-zero h1 so the conv's boundary reads keep SAME-pad semantics
+    h1 = _zpad(jnp.where(z >= 0, z, al_ref[...] * z),
+               s_valid).astype(y1.dtype)
     build, reduce_ = _bld(reflect)
     build(h1, x3_ref, s, w_img)
     p = jnp.dot(w_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
-    y2 = (reduce_(p, s, wk) + b_ref[0]).astype(y2_ref.dtype)
+    y2 = _zpad(reduce_(p, s, wk) + b_ref[0], s_valid).astype(y2_ref.dtype)
     y2_ref[0] = y2
 
     @pl.when(gid == 0)
@@ -146,12 +155,12 @@ def _f2_kernel(y1_ref, a1_ref, c1_ref, al_ref, w_ref, b_ref,
     sq_ref[...] += jnp.sum(yf * yf, axis=1, keepdims=True)
 
 
-def _f3_kernel(y2_ref, a2_ref, c2_ref, u_ref, out_ref):
+def _f3_kernel(y2_ref, a2_ref, c2_ref, u_ref, out_ref, *, s_valid=None):
     """out = a2*y2 + c2 + u (the block skip)."""
     y2 = y2_ref[0]
     out = a2_ref[...] * y2.astype(jnp.float32) + c2_ref[...] \
         + u_ref[0].astype(jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = _zpad(out, s_valid).astype(out_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +187,7 @@ def _b2_kernel(g_ref, y2_ref, y1_ref, mean2_ref, inv2_ref, coef2_ref,
                t1_ref, t2_ref, a1_ref, c1_ref, al_ref, w2t_ref,
                mean1_ref, inv1_ref,
                dz_ref, dw2t_ref, db2_ref, dal_ref, sdz_ref, sdzx_ref,
-               s3_ref, *, w_img, wk, reflect=False):
+               s3_ref, *, w_img, wk, reflect=False, s_valid=None):
     """BN2 backward -> convT(W2) -> PReLU backward; dW2/db2/dalpha accums
     and BN1's reduction terms (S_dz, S_dz*xhat1)."""
     gid = pl.program_id(0)
@@ -186,9 +195,12 @@ def _b2_kernel(g_ref, y2_ref, y1_ref, mean2_ref, inv2_ref, coef2_ref,
     y1 = y1_ref[0]
     c, s = y1.shape
 
-    # dy2 = coef2 * (g - t1 - xhat2 * t2)
+    # dy2 = coef2 * (g - t1 - xhat2 * t2); the -t1/-xhat2*t2 constants are
+    # nonzero on dead lanes even though g is zero there — re-zero before
+    # the convT / the dW rolls / the db sum
     xhat2 = (y2_ref[0].astype(jnp.float32) - mean2_ref[...]) * inv2_ref[...]
-    dy2 = coef2_ref[...] * (g - t1_ref[...] - xhat2 * t2_ref[...])
+    dy2 = _zpad(coef2_ref[...] * (g - t1_ref[...] - xhat2 * t2_ref[...]),
+                s_valid)
     dy2c = dy2.astype(y1.dtype)
 
     @pl.when(gid == 0)
@@ -199,11 +211,12 @@ def _b2_kernel(g_ref, y2_ref, y1_ref, mean2_ref, inv2_ref, coef2_ref,
         sdz_ref[...] = jnp.zeros_like(sdz_ref)
         sdzx_ref[...] = jnp.zeros_like(sdzx_ref)
 
-    # dh1 = convT(dy2, W2)
+    # dh1 = convT(dy2, W2); the dy row-reduce can roll valid partials
+    # into the first dead row — re-zero
     build_t, reduce_t = _bld_t(reflect)
     build_t(dy2c, s3_ref, s, w_img)
     p = jnp.dot(w2t_ref[0], s3_ref[...], preferred_element_type=jnp.float32)
-    dh1 = reduce_t(p, s, wk)
+    dh1 = _zpad(reduce_t(p, s, wk), s_valid)
 
     # PReLU backward: z = a1*y1 + c1; h1 = where(z>=0, z, al*z)
     z = a1_ref[...] * y1.astype(jnp.float32) + c1_ref[...]
@@ -218,8 +231,10 @@ def _b2_kernel(g_ref, y2_ref, y1_ref, mean2_ref, inv2_ref, coef2_ref,
     sdz_ref[...] += jnp.sum(dzs, axis=1, keepdims=True)
     sdzx_ref[...] += jnp.sum(dzs * xhat1, axis=1, keepdims=True)
 
-    # dW2[dy] = roll(dy2, dy) @ H3^T ; db2 = sum dy2 (h1 recomputed)
-    h1 = jnp.where(z >= 0, z, al_ref[...] * z).astype(y1.dtype)
+    # dW2[dy] = roll(dy2, dy) @ H3^T ; db2 = sum dy2 (h1 recomputed —
+    # re-zeroed on the pad tail exactly as F2 stored it)
+    h1 = _zpad(jnp.where(z >= 0, z, al_ref[...] * z),
+               s_valid).astype(y1.dtype)
     build, _ = _bld(reflect)
     gs = _gsr(reflect)
     build(h1, s3_ref, s, w_img)
@@ -235,7 +250,7 @@ def _b2_kernel(g_ref, y2_ref, y1_ref, mean2_ref, inv2_ref, coef2_ref,
 def _b3_kernel(dz_ref, y1_ref, mean1_ref, inv1_ref, coef1_ref,
                t1_ref, t2_ref, u_ref, g_ref, w1t_ref,
                du_ref, dw1t_ref, db1_ref, s3_ref, *, w_img, wk, skip,
-               reflect=False):
+               reflect=False, s_valid=None):
     """BN1 backward -> convT(W1) (+ skip grad) -> du; dW1/db1 accums."""
     gid = pl.program_id(0)
     dz = dz_ref[0].astype(jnp.float32)
@@ -243,7 +258,8 @@ def _b3_kernel(dz_ref, y1_ref, mean1_ref, inv1_ref, coef1_ref,
     c, s = u.shape
 
     xhat1 = (y1_ref[0].astype(jnp.float32) - mean1_ref[...]) * inv1_ref[...]
-    dy1 = coef1_ref[...] * (dz - t1_ref[...] - xhat1 * t2_ref[...])
+    dy1 = _zpad(coef1_ref[...] * (dz - t1_ref[...] - xhat1 * t2_ref[...]),
+                s_valid)
     dy1c = dy1.astype(u.dtype)
 
     @pl.when(gid == 0)
@@ -254,7 +270,7 @@ def _b3_kernel(dz_ref, y1_ref, mean1_ref, inv1_ref, coef1_ref,
     build_t, reduce_t = _bld_t(reflect)
     build_t(dy1c, s3_ref, s, w_img)
     p = jnp.dot(w1t_ref[0], s3_ref[...], preferred_element_type=jnp.float32)
-    du = reduce_t(p, s, wk)
+    du = _zpad(reduce_t(p, s, wk), s_valid)
     if skip:
         du = du + g_ref[0].astype(jnp.float32)
     du_ref[0] = du.astype(du_ref.dtype)
@@ -296,25 +312,28 @@ def _conv_stats_call(kernel, args, g, c, s, dtype, n_vec, interpret):
     )(*args)
 
 
-def f1_conv_stats(u, ws, bs, w_img, k, interpret=None, reflect=False):
+def f1_conv_stats(u, ws, bs, w_img, k, interpret=None, reflect=False,
+                  s_valid=None):
     g, c, s = u.shape
     return _conv_stats_call(
-        partial(_f1_kernel, w_img=w_img, wk=w_img * k, reflect=reflect),
+        partial(_f1_kernel, w_img=w_img, wk=w_img * k, reflect=reflect,
+                s_valid=s_valid),
         (u, ws, bs), g, c, s, u.dtype, 0, interpret)
 
 
 def f2_norm_act_conv_stats(y1, a1, c1, al, ws, bs, w_img, k, interpret=None,
-                           reflect=False):
+                           reflect=False, s_valid=None):
     g, c, s = y1.shape
     return _conv_stats_call(
-        partial(_f2_kernel, w_img=w_img, wk=w_img * k, reflect=reflect),
+        partial(_f2_kernel, w_img=w_img, wk=w_img * k, reflect=reflect,
+                s_valid=s_valid),
         (y1, a1, c1, al, ws, bs), g, c, s, y1.dtype, 3, interpret)
 
 
-def f3_norm_skip(y2, a2, c2, u, interpret=None):
+def f3_norm_skip(y2, a2, c2, u, interpret=None, s_valid=None):
     g, c, s = y2.shape
     return pl.pallas_call(
-        _f3_kernel,
+        partial(_f3_kernel, s_valid=s_valid),
         grid=(g,),
         compiler_params=_cp(),
         in_specs=[_blk(c, s), _vec(), _vec(), _blk(c, s)],
@@ -339,10 +358,12 @@ def b1_sums(gout, y, mean, inv, interpret=None):
 
 
 def b2_call(gout, y2, y1, mean2, inv2, coef2, t1, t2, a1, c1, al, w2ts,
-            mean1, inv1, w_img, k, interpret=None, reflect=False):
+            mean1, inv1, w_img, k, interpret=None, reflect=False,
+            s_valid=None):
     g, c, s = gout.shape
     return pl.pallas_call(
-        partial(_b2_kernel, w_img=w_img, wk=w_img * k, reflect=reflect),
+        partial(_b2_kernel, w_img=w_img, wk=w_img * k, reflect=reflect,
+                s_valid=s_valid),
         grid=(g,),
         compiler_params=_cp(),
         in_specs=[_blk(c, s), _blk(c, s), _blk(c, s)]
@@ -364,11 +385,11 @@ def b2_call(gout, y2, y1, mean2, inv2, coef2, t1, t2, a1, c1, al, w2ts,
 
 
 def b3_call(dz, y1, mean1, inv1, coef1, t1, t2, u, gout, w1ts, w_img, k,
-            skip=True, interpret=None, reflect=False):
+            skip=True, interpret=None, reflect=False, s_valid=None):
     g, c, s = dz.shape
     return pl.pallas_call(
         partial(_b3_kernel, w_img=w_img, wk=w_img * k, skip=skip,
-                reflect=reflect),
+                reflect=reflect, s_valid=s_valid),
         grid=(g,),
         compiler_params=_cp(),
         in_specs=[_blk(c, s), _blk(c, s)] + [_vec()] * 5
@@ -410,9 +431,9 @@ def _col(v):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def bn_resblock_cs(u, w1, b1, ga1, be1, alpha, w2, b2, ga2, be2, w_img, k,
-                   reflect=False):
+                   reflect=False, s_valid=None):
     """One SRResNet resblock in CS layout, training mode.
 
     u (G, C, S); w1/w2 CS-arranged (1, 3C, 3C) slices of the stacked
@@ -422,29 +443,37 @@ def bn_resblock_cs(u, w1, b1, ga1, be1, alpha, w2, b2, ga2, be2, w_img, k,
     (their cotangents are ignored; they only flow into mutable state).
     ``reflect=True`` runs both convs with REFLECT boundaries (SRGAN's
     generator block, reference srgan.py:20-33) instead of SAME zero-pad.
+    ``s_valid``: dead-lane padded packing (cs_plan_pad) — batch stats
+    reduce over the g*s_valid REAL elements only and every kernel write
+    re-zeroes the pad tail; not supported together with reflect (the
+    mirror rolls would need pad-boundary mirror logic nobody needs:
+    SRGAN's 32x32 LR shapes are always lane-aligned).
     """
     out, _, stats = _bn_rb_fwd(u, w1, b1, ga1, be1, alpha, w2, b2, ga2,
-                               be2, w_img, k, reflect)
+                               be2, w_img, k, reflect, s_valid)
     return out, stats
 
 
 def _bn_rb_fwd(u, w1, b1, ga1, be1, alpha, w2, b2, ga2, be2, w_img, k,
-               reflect=False):
+               reflect=False, s_valid=None):
+    if reflect and s_valid is not None:
+        raise ValueError('bn_resblock_cs: reflect boundaries are not '
+                         'supported on dead-lane padded plans (s_valid)')
     g, c, s = u.shape
-    m = jnp.float32(g * s)
+    m = jnp.float32(g * (s if s_valid is None else s_valid))
     dt = u.dtype
     al = jnp.broadcast_to(alpha.astype(jnp.float32).reshape(1, 1), (c, 1))
 
     y1, sm1, sq1 = f1_conv_stats(u, w1.astype(dt), _col(b1[0])[None], w_img,
-                                 k, reflect=reflect)
+                                 k, reflect=reflect, s_valid=s_valid)
     mean1, var1, inv1, a1, c1 = _finalize(sm1, sq1, m, _col(ga1[0]),
                                           _col(be1[0]))
     y2, sm2, sq2 = f2_norm_act_conv_stats(y1, a1, c1, al, w2.astype(dt),
                                           _col(b2[0])[None], w_img, k,
-                                          reflect=reflect)
+                                          reflect=reflect, s_valid=s_valid)
     mean2, var2, inv2, a2, c2 = _finalize(sm2, sq2, m, _col(ga2[0]),
                                           _col(be2[0]))
-    out = f3_norm_skip(y2, a2, c2, u)
+    out = f3_norm_skip(y2, a2, c2, u, s_valid=s_valid)
     saved = (u, y1, y2, mean1, inv1, mean2, inv2, w1, ga1, be1, alpha,
              w2, ga2, be2, a1, c1)
     stats = (mean1[:, 0], var1[:, 0], mean2[:, 0], var2[:, 0])
@@ -452,18 +481,18 @@ def _bn_rb_fwd(u, w1, b1, ga1, be1, alpha, w2, b2, ga2, be2, w_img, k,
 
 
 def _bn_rb_vjp_fwd(u, w1, b1, ga1, be1, alpha, w2, b2, ga2, be2, w_img, k,
-                   reflect):
+                   reflect, s_valid):
     out, saved, stats = _bn_rb_fwd(u, w1, b1, ga1, be1, alpha, w2, b2,
-                                   ga2, be2, w_img, k, reflect)
+                                   ga2, be2, w_img, k, reflect, s_valid)
     return (out, stats), saved
 
 
-def _bn_rb_vjp_bwd(w_img, k, reflect, saved, gs):
+def _bn_rb_vjp_bwd(w_img, k, reflect, s_valid, saved, gs):
     gout = gs[0]           # stat cotangents (gs[1]) are state-only: ignored
     (u, y1, y2, mean1, inv1, mean2, inv2, w1, ga1, be1, alpha,
      w2, ga2, be2, a1, c1) = saved
     g, c, s = u.shape
-    m = jnp.float32(g * s)
+    m = jnp.float32(g * (s if s_valid is None else s_valid))
     dt = u.dtype
     al = jnp.broadcast_to(alpha.astype(jnp.float32).reshape(1, 1), (c, 1))
     w1ts = w_cs_T_from_cs(w1.astype(dt), c, c)
@@ -473,11 +502,11 @@ def _bn_rb_vjp_bwd(w_img, k, reflect, saved, gs):
     coef2 = _col(ga2[0]) * inv2
     dz, dw2t, db2, dal, sdz, sdzx = b2_call(
         gout, y2, y1, mean2, inv2, coef2, sg2 / m, sgx2 / m, a1, c1, al,
-        w2ts, mean1, inv1, w_img, k, reflect=reflect)
+        w2ts, mean1, inv1, w_img, k, reflect=reflect, s_valid=s_valid)
     coef1 = _col(ga1[0]) * inv1
     du, dw1t, db1 = b3_call(dz, y1, mean1, inv1, coef1, sdz / m, sdzx / m,
                             u, gout, w1ts, w_img, k, skip=True,
-                            reflect=reflect)
+                            reflect=reflect, s_valid=s_valid)
 
     wd = w1.dtype
     return (du,
@@ -495,41 +524,48 @@ def _bn_rb_vjp_bwd(w_img, k, reflect, saved, gs):
 bn_resblock_cs.defvjp(_bn_rb_vjp_fwd, _bn_rb_vjp_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def bn_close_cs(u, x_skip, wc, bc, gac, bec, w_img, k, reflect=False):
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def bn_close_cs(u, x_skip, wc, bc, gac, bec, w_img, k, reflect=False,
+                s_valid=None):
     """Closing conv + BN + global skip: out = BN(conv(u)) + x_skip.
 
     Reference models/srresnet.py:27-30 (BasicBlock norm='batch' act=None
     followed by the trunk skip). wc is a (1, 3C, 3C) CS slice.
     ``reflect=True``: REFLECT conv boundary (SRGAN, srgan.py:40-43).
+    ``s_valid``: dead-lane padded packing — see bn_resblock_cs.
     """
     out, _, stats = _bn_close_fwd(u, x_skip, wc, bc, gac, bec, w_img, k,
-                                  reflect)
+                                  reflect, s_valid)
     return out, stats
 
 
-def _bn_close_fwd(u, x_skip, wc, bc, gac, bec, w_img, k, reflect=False):
+def _bn_close_fwd(u, x_skip, wc, bc, gac, bec, w_img, k, reflect=False,
+                  s_valid=None):
+    if reflect and s_valid is not None:
+        raise ValueError('bn_close_cs: reflect boundaries are not '
+                         'supported on dead-lane padded plans (s_valid)')
     g, c, s = u.shape
-    m = jnp.float32(g * s)
+    m = jnp.float32(g * (s if s_valid is None else s_valid))
     dt = u.dtype
     y, sm, sq = f1_conv_stats(u, wc.astype(dt), _col(bc[0])[None], w_img, k,
-                              reflect=reflect)
+                              reflect=reflect, s_valid=s_valid)
     mean, var, inv, a, cc = _finalize(sm, sq, m, _col(gac[0]), _col(bec[0]))
-    out = f3_norm_skip(y, a, cc, x_skip)
+    out = f3_norm_skip(y, a, cc, x_skip, s_valid=s_valid)
     return out, (u, y, mean, inv, wc, gac), (mean[:, 0], var[:, 0])
 
 
-def _bn_close_vjp_fwd(u, x_skip, wc, bc, gac, bec, w_img, k, reflect):
+def _bn_close_vjp_fwd(u, x_skip, wc, bc, gac, bec, w_img, k, reflect,
+                      s_valid):
     out, saved, stats = _bn_close_fwd(u, x_skip, wc, bc, gac, bec, w_img, k,
-                                      reflect)
+                                      reflect, s_valid)
     return (out, stats), saved
 
 
-def _bn_close_vjp_bwd(w_img, k, reflect, saved, gs):
+def _bn_close_vjp_bwd(w_img, k, reflect, s_valid, saved, gs):
     gout = gs[0]
     u, y, mean, inv, wc, gac = saved
     g, c, s = u.shape
-    m = jnp.float32(g * s)
+    m = jnp.float32(g * (s if s_valid is None else s_valid))
     dt = u.dtype
     wts = w_cs_T_from_cs(wc.astype(dt), c, c)
 
@@ -538,7 +574,7 @@ def _bn_close_vjp_bwd(w_img, k, reflect, saved, gs):
     # B3 with dz := gout and no skip add (x_skip's grad is gout itself)
     du, dwt, db = b3_call(gout, y, mean, inv, coef, sg / m, sgx / m,
                           u, gout, wts, w_img, k, skip=False,
-                          reflect=reflect)
+                          reflect=reflect, s_valid=s_valid)
     wd = wc.dtype
     return (du, gout,
             dwt.reshape(1, 3 * c, 3 * c).astype(wd),

@@ -2131,9 +2131,14 @@ rdn_trunk_cs2.defvjp(_rdn2_vjp_fwd, _rdn2_vjp_bwd)
 
 
 
-def _seg_masks(s, w, k):
+def _seg_masks(s, w, k, s_valid=None):
+    """Per-image lane masks; s_valid excludes the dead-lane pad tail
+    (cs_plan_pad) — pad lanes would otherwise be attributed to real
+    images by the ``lane % (w*k)`` arithmetic and poison the CA pools."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     img = (lane % (w * k)) // w
+    if s_valid is not None and s_valid < s:
+        return [(img == j) & (lane < s_valid) for j in range(k)]
     return [img == j for j in range(k)]
 
 
@@ -2164,21 +2169,25 @@ def _ca_forward(r2f, wdt, wut, bd, bu, masks, n_pix):
 
 def _rcab_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                      wdt_ref, bd_ref, wut_ref, bu_ref,
-                     out_ref, h1_ref, r2_ref, x3_ref, *, w_img, wk, k):
+                     out_ref, h1_ref, r2_ref, x3_ref, *, w_img, wk, k,
+                     s_valid=None):
     x = x_ref[0]
     c, s = x.shape
     _build_x3(x, x3_ref, s, w_img)
     p_ = jnp.dot(w1_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
-    h1 = jnp.maximum(_dy_reduce(p_, s, wk) + b1_ref[0], 0.0).astype(x.dtype)
+    # re-zero the pad tail (bias/relu leave relu(b1) there otherwise —
+    # the next conv's boundary reads and the bwd rolls need zeros)
+    h1 = _zpad(jnp.maximum(_dy_reduce(p_, s, wk) + b1_ref[0], 0.0),
+               s_valid).astype(x.dtype)
     h1_ref[0] = h1
     _build_x3(h1, x3_ref, s, w_img)
     p_ = jnp.dot(w2_ref[0], x3_ref[...], preferred_element_type=jnp.float32)
-    r2f = _dy_reduce(p_, s, wk) + b2_ref[0]
+    r2f = _zpad(_dy_reduce(p_, s, wk) + b2_ref[0], s_valid)
     r2_ref[0] = r2f.astype(x.dtype)
 
-    masks = _seg_masks(s, w_img, k)
+    masks = _seg_masks(s, w_img, k, s_valid)
     _, _, q = _ca_forward(r2f, wdt_ref[0], wut_ref[0], bd_ref[0],
-                          bu_ref[0], masks, s // k)
+                          bu_ref[0], masks, (s_valid or s) // k)
     out_ref[0] = (x.astype(jnp.float32)
                   + r2f * _gate_cs(q, masks, s)).astype(out_ref.dtype)
 
@@ -2187,7 +2196,7 @@ def _rcab_bwd_kernel(x_ref, h1_ref, r2_ref, g_ref, w1t_ref, w2t_ref,
                      wd_ref, wdt_ref, wu_ref, wut_ref, bd_ref, bu_ref,
                      dx_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
                      dwd_ref, dbd_ref, dwu_ref, dbu_ref,
-                     s3_ref, *, w_img, wk, k):
+                     s3_ref, *, w_img, wk, k, s_valid=None):
     gid = pl.program_id(0)
     x = x_ref[0]
     h1 = h1_ref[0]
@@ -2195,8 +2204,8 @@ def _rcab_bwd_kernel(x_ref, h1_ref, r2_ref, g_ref, w1t_ref, w2t_ref,
     c, s = x.shape
     r2f = r2_ref[0].astype(jnp.float32)
     gf = g.astype(jnp.float32)
-    masks = _seg_masks(s, w_img, k)
-    n_pix = s // k
+    masks = _seg_masks(s, w_img, k, s_valid)
+    n_pix = (s_valid or s) // k
 
     @pl.when(gid == 0)
     def _():
@@ -2231,7 +2240,8 @@ def _rcab_bwd_kernel(x_ref, h1_ref, r2_ref, g_ref, w1t_ref, w2t_ref,
                     _dy_reduce(p_, s, wk), 0.0).astype(x.dtype)
     _build_x3(dh1, s3_ref, s, w_img)
     p_ = jnp.dot(w1t_ref[0], s3_ref[...], preferred_element_type=jnp.float32)
-    dx_ref[0] = (_dy_reduce(p_, s, wk) + gf).astype(dx_ref.dtype)
+    dx_ref[0] = _zpad(_dy_reduce(p_, s, wk) + gf,
+                      s_valid).astype(dx_ref.dtype)
 
     _build_x3(h1, s3_ref, s, w_img)
     h3 = s3_ref[...]
@@ -2255,14 +2265,15 @@ def _rcab_bwd_kernel(x_ref, h1_ref, r2_ref, g_ref, w1t_ref, w2t_ref,
 
 
 def _rcab_fwd_call(x_cs, w1s, b1s, w2s, b2s, wdts, bds, wuts, bus,
-                   w_img, k, interpret=None):
+                   w_img, k, interpret=None, s_valid=None):
     # weights are (1, ...) XLA-level slices -> one Mosaic kernel serves
     # every RCAB in every group (see rdb_fused_fwd on kernel dedupe)
     g, c, s = x_cs.shape
     cr = wdts.shape[1]
     blk, _ = _specs(g, c, s)
     return pl.pallas_call(
-        partial(_rcab_fwd_kernel, w_img=w_img, wk=w_img * k, k=k),
+        partial(_rcab_fwd_kernel, w_img=w_img, wk=w_img * k, k=k,
+                s_valid=s_valid),
         grid=(g,),
         in_specs=[blk, _stk(0, (3 * c, 3 * c)), _stk(0, (c, 1)),
                   _stk(0, (3 * c, 3 * c)), _stk(0, (c, 1)),
@@ -2280,14 +2291,15 @@ def _rcab_fwd_call(x_cs, w1s, b1s, w2s, b2s, wdts, bds, wuts, bus,
 
 def _rcab_bwd_call(x_cs, h1_cs, r2_cs, g_cs, w1ts, w2ts,
                    wds, wdts, wus, wuts, bds, bus, w_img, k,
-                   interpret=None):
+                   interpret=None, s_valid=None):
     g, c, s = x_cs.shape
     cr = wdts.shape[1]
     blk, _ = _specs(g, c, s)
     acc = lambda *shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
                                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_rcab_bwd_kernel, w_img=w_img, wk=w_img * k, k=k),
+        partial(_rcab_bwd_kernel, w_img=w_img, wk=w_img * k, k=k,
+                s_valid=s_valid),
         grid=(g,),
         in_specs=[blk, blk, blk, blk,
                   _stk(0, (3 * c, 3 * c)), _stk(0, (3 * c, 3 * c)),
@@ -2314,18 +2326,23 @@ def _rcab_bwd_call(x_cs, h1_cs, r2_cs, g_cs, w1ts, w2ts,
     )(x_cs, h1_cs, r2_cs, g_cs, w1ts, w2ts, wds, wdts, wus, wuts, bds, bus)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+@partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def resgroup_ca_cs(x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc,
-                   h_img, w_img, k):
+                   h_img, w_img, k, s_valid=None):
     """RCAN residual group, CS layout. w1/w2 (L,3C,3C) CS-arranged;
     b1/b2 (L,C); CA mlp wd (L,C,C/r), bd (L,C/r), wu (L,C/r,C), bu (L,C);
-    close conv wc (3C,3C) CS-arranged, bc (C,)."""
+    close conv wc (3C,3C) CS-arranged, bc (C,).
+
+    s_valid (cs_plan_pad dead-lane packing): the CA segment pools mask
+    the pad tail out of every per-image mean (and use the REAL pixel
+    count), and every kernel write re-zeroes the tail."""
     out, *_ = _rg_fwd(x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc,
-                      h_img, w_img, k)
+                      h_img, w_img, k, s_valid)
     return out
 
 
-def _rg_fwd(x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc, h_img, w_img, k):
+def _rg_fwd(x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc, h_img, w_img, k,
+            s_valid=None):
     dt = x_cs.dtype
     w1s, w2s = w1.astype(dt), w2.astype(dt)
     b1s = b1.astype(jnp.float32)[..., None]
@@ -2341,24 +2358,27 @@ def _rg_fwd(x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc, h_img, w_img, k):
         sl = slice(l, l + 1)
         x, h1, r2 = _rcab_fwd_call(x, w1s[sl], b1s[sl], w2s[sl],
                                    b2s[sl], wdts[sl], bds[sl],
-                                   wuts[sl], bus[sl], w_img, k)
+                                   wuts[sl], bus[sl], w_img, k,
+                                   s_valid=s_valid)
         h1s.append(h1); r2s.append(r2)
     x_close = x
     r = conv3x3_cs_fwd(x_close, wc.astype(dt),
-                       bc.astype(jnp.float32)[:, None], w_img, k)
+                       bc.astype(jnp.float32)[:, None], w_img, k,
+                       s_valid=s_valid)
     out = r + x_cs
     return out, xs, h1s, r2s, x_close, w1s, w2s, wdts, wuts, bds, bus
 
 
 def _rg_vjp_fwd(x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc,
-                h_img, w_img, k):
+                h_img, w_img, k, s_valid):
     out, xs, h1s, r2s, x_close, w1s, w2s, wdts, wuts, bds, bus = _rg_fwd(
-        x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc, h_img, w_img, k)
+        x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc, h_img, w_img, k,
+        s_valid)
     return out, (tuple(xs), tuple(h1s), tuple(r2s), x_close, w1s, w2s,
                  wd, wu, wdts, wuts, bds, bus, wc)
 
 
-def _rg_vjp_bwd(h_img, w_img, k, res, g_out):
+def _rg_vjp_bwd(h_img, w_img, k, s_valid, res, g_out):
     (xs, h1s, r2s, x_close, w1s, w2s, wd, wu, wdts, wuts, bds, bus,
      wc) = res
     l_blocks = len(xs)
@@ -2367,7 +2387,8 @@ def _rg_vjp_bwd(h_img, w_img, k, res, g_out):
 
     # close conv: out = conv(x_close) + x_cs
     wct = w_cs_T_from_cs(wc[None].astype(dt), c, c)[0]
-    g, dwc, dbc = conv3x3_cs_bwd(x_close, g_out, wct, w_img, k)
+    g, dwc, dbc = conv3x3_cs_bwd(x_close, g_out, wct, w_img, k,
+                                 s_valid=s_valid)
     dx_skip = g_out  # group skip to x_cs
 
     w1ts = w_cs_T_from_cs(w1s, c, c)
@@ -2378,7 +2399,8 @@ def _rg_vjp_bwd(h_img, w_img, k, res, g_out):
         sl = slice(l, l + 1)
         (g, dw1t, db1t, dw2t, db2t, dwd, dbd, dwu, dbu) = _rcab_bwd_call(
             xs[l], h1s[l], r2s[l], g, w1ts[sl], w2ts[sl], wd[sl],
-            wdts[sl], wu[sl], wuts[sl], bds[sl], bus[sl], w_img, k)
+            wdts[sl], wu[sl], wuts[sl], bds[sl], bus[sl], w_img, k,
+            s_valid=s_valid)
         outs['w1'][l] = dw1t.reshape(3 * c, 3 * c)
         outs['b1'][l] = db1t[:, 0]
         outs['w2'][l] = dw2t.reshape(3 * c, 3 * c)

@@ -365,3 +365,176 @@ def test_srresnet_cs_train_step():
         {'params': vs['params'], 'batch_stats': upd['batch_stats']},
         lr_img, train=False)
     assert sr_eval.shape == hr_img.shape
+
+
+# ---------------------------------------------------------------------------
+# dead-lane padded packings (cs_plan_pad): the scale-3 BN trunk
+# ---------------------------------------------------------------------------
+#
+# 42x42 LR (scale-3) shapes have S = H*W*k that is never a 128 multiple;
+# cs_plan_pad packs with a zero-padded dead-lane tail. For BN the batch
+# statistics must reduce over the g*s_valid REAL elements only — a naive
+# mean over the padded lane axis would bias mean/var by the tail zeros.
+# Pinned here on an unaligned 6x6 shape against the XLA reference.
+
+
+@pytest.fixture(scope='module')
+def pad_bn_data():
+    rng = np.random.default_rng(17)
+    B, H, W, C = 4, 6, 6, 16
+
+    def mk(*shape, s=0.1):
+        return jnp.asarray(rng.standard_normal(shape) * s, jnp.float32)
+
+    x = mk(B, H, W, C, s=1.0)
+    p = dict(w1=mk(1, 3 * C, 3 * C), b1=mk(1, C),
+             ga1=1.0 + mk(1, C), be1=mk(1, C),
+             alpha=jnp.asarray([[0.25]], jnp.float32),
+             w2=mk(1, 3 * C, 3 * C), b2=mk(1, C),
+             ga2=1.0 + mk(1, C), be2=mk(1, C))
+    return x, p
+
+
+def test_bn_resblock_padded_fwd_and_stats(pad_bn_data):
+    from srtpu.ops.cs_conv import cs_plan_pad
+    x, p = pad_bn_data
+    C = x.shape[-1]
+    assert cs_plan(x.shape) is None
+    k, _, s_pad = cs_plan_pad(x.shape)
+    s_valid = 6 * 6 * k
+    out_cs, st = bn_resblock_cs(
+        nhwc_to_cs(x, k, s_pad), p['w1'], p['b1'], p['ga1'], p['be1'],
+        p['alpha'], p['w2'], p['b2'], p['ga2'], p['be2'], x.shape[2], k,
+        False, s_valid)
+    # the pad-tail invariant: dead lanes of the output are zero
+    np.testing.assert_array_equal(np.asarray(out_cs[:, :, s_valid:]), 0)
+    got = cs_to_nhwc(out_cs, k, x.shape[1], x.shape[2])
+
+    a = _ref_args(p, C)
+    ref, st_ref = bn_resblock_ref(x, *a, True, None, None, None, None)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+    # batch stats: mean/var over REAL elements only (masked reductions)
+    for s_cs, s_rf in zip(st, st_ref):
+        np.testing.assert_allclose(s_cs, s_rf, atol=1e-4)
+
+
+def test_bn_resblock_padded_grads_match_xla(pad_bn_data):
+    from srtpu.ops.cs_conv import cs_plan_pad
+    x, p = pad_bn_data
+    C = x.shape[-1]
+    k, _, s_pad = cs_plan_pad(x.shape)
+    s_valid = 6 * 6 * k
+    x_cs = nhwc_to_cs(x, k, s_pad)
+    keys = ('w1', 'b1', 'ga1', 'be1', 'alpha', 'w2', 'b2', 'ga2', 'be2')
+
+    # NOTE: the loss converts CS -> NHWC first — the production contract
+    # (cs_to_nhwc's VJP, and every CS kernel's zpadded dx) is that
+    # cotangents entering the backward are zero on the pad tail; sin()
+    # applied to the raw padded buffer would inject cos(0)=1 there.
+    def loss_cs(inp):
+        xc, pp = inp
+        out, _ = bn_resblock_cs(xc, *[pp[kk] for kk in keys],
+                                x.shape[2], k, False, s_valid)
+        return jnp.sum(jnp.sin(cs_to_nhwc(out, k, x.shape[1], x.shape[2])))
+
+    def loss_ref(inp):
+        xx, pp = inp
+        w1h = w_hwio_from_cs(pp['w1'], C, C)[0]
+        w2h = w_hwio_from_cs(pp['w2'], C, C)[0]
+        out, _ = bn_resblock_ref(
+            xx, w1h, pp['b1'][0], pp['ga1'][0], pp['be1'][0],
+            pp['alpha'][0], w2h, pp['b2'][0], pp['ga2'][0], pp['be2'][0],
+            True, None, None, None, None)
+        return jnp.sum(jnp.sin(out))
+
+    g_cs = jax.grad(loss_cs)((x_cs, p))
+    g_rf = jax.grad(loss_ref)((x, p))
+    np.testing.assert_allclose(g_cs[0], nhwc_to_cs(g_rf[0], k, s_pad),
+                               atol=2e-3)
+    for kk in keys:
+        np.testing.assert_allclose(
+            g_cs[1][kk], g_rf[1][kk], atol=2e-3,
+            err_msg=f'grad mismatch for {kk}')
+
+
+def test_bn_close_padded_matches_ref(pad_bn_data):
+    from srtpu.ops.bn_resblock_cs import bn_close_ref
+    from srtpu.ops.cs_conv import cs_plan_pad
+    x, p = pad_bn_data
+    C = x.shape[-1]
+    k, _, s_pad = cs_plan_pad(x.shape)
+    s_valid = 6 * 6 * k
+    rng = np.random.default_rng(18)
+    skip = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+    w, b = p['w1'], p['b1']
+    ga, be = p['ga1'], p['be1']
+
+    def loss_cs(x_, sk_):
+        out, st = bn_close_cs(nhwc_to_cs(x_, k, s_pad),
+                              nhwc_to_cs(sk_, k, s_pad), w, b, ga, be,
+                              x.shape[2], k, False, s_valid)
+        # CS -> NHWC first: cotangents must be zero on the pad tail (the
+        # production contract, see the grads test above)
+        return jnp.sum(jnp.sin(cs_to_nhwc(out, k, x.shape[1],
+                                          x.shape[2]))), st
+
+    def loss_ref(x_, sk_):
+        wh = w_hwio_from_cs(w, C, C)[0]
+        out, st = bn_close_ref(x_, sk_, wh, b[0], ga[0], be[0], True,
+                               None, None)
+        return jnp.sum(jnp.sin(out)), st
+
+    (v_cs, st_cs), g_cs = jax.value_and_grad(
+        loss_cs, argnums=(0, 1), has_aux=True)(x, skip)
+    (v_rf, st_rf), g_rf = jax.value_and_grad(
+        loss_ref, argnums=(0, 1), has_aux=True)(x, skip)
+    np.testing.assert_allclose(v_cs, v_rf, rtol=1e-5)
+    for a, b_ in zip(st_cs, st_rf):
+        np.testing.assert_allclose(a, b_, atol=1e-4)
+    for a, b_ in zip(g_cs, g_rf):
+        np.testing.assert_allclose(a, b_, atol=2e-3)
+
+
+def test_csbn_trunk_padded_path_consulted_and_matches(monkeypatch):
+    """CSBNTrunk on an unaligned shape takes the cs_plan_pad path (the
+    scale-3 SRResNet recipe) and matches the XLA fallback in values,
+    batch stats, and gradients."""
+    from srtpu.models.common import CSBNTrunk
+    from srtpu.ops import cs_conv
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((4, 6, 6, 16)), jnp.float32)
+    trunk = CSBNTrunk(n_feats=16, n_resblocks=2)
+    vs = trunk.init(jax.random.PRNGKey(1), x, train=True)
+
+    taken = []
+    real = cs_conv.cs_plan_pad
+    monkeypatch.setattr(cs_conv, 'cs_plan_pad',
+                        lambda s: taken.append(s) or real(s))
+
+    def loss(params, use_cs):
+        if not use_cs:
+            monkeypatch.setattr(cs_conv, 'cs_plan_pad', lambda s: None)
+        else:
+            monkeypatch.setattr(cs_conv, 'cs_plan_pad',
+                                lambda s: taken.append(s) or real(s))
+        out, upd = trunk.apply(
+            {'params': params, 'batch_stats': vs['batch_stats']},
+            x, train=True, mutable=['batch_stats'])
+        return jnp.sum(jnp.sin(out)), upd
+
+    (v_cs, upd_cs), g_cs = jax.value_and_grad(
+        loss, has_aux=True)(vs['params'], True)
+    assert taken, 'padded CS path was not consulted'
+    (v_rf, upd_rf), g_rf = jax.value_and_grad(
+        loss, has_aux=True)(vs['params'], False)
+    np.testing.assert_allclose(v_cs, v_rf, rtol=5e-5)
+    for kk in upd_cs['batch_stats']:
+        np.testing.assert_allclose(upd_cs['batch_stats'][kk],
+                                   upd_rf['batch_stats'][kk], atol=1e-4,
+                                   err_msg=kk)
+    flat_cs = jax.tree_util.tree_leaves_with_path(g_cs)
+    flat_rf = jax.tree_util.tree_leaves(g_rf)
+    for (path, a), b in zip(flat_cs, flat_rf):
+        np.testing.assert_allclose(a, b, atol=2e-3,
+                                   err_msg=jax.tree_util.keystr(path))

@@ -1090,3 +1090,95 @@ def test_path_log_records_gate_decisions(monkeypatch):
     model.init(jax.random.PRNGKey(0), x)
     assert cs_conv.PATH_LOG.get(('CSTrunk', (2, 8, 8, 16))) == 'xla'
     assert cs_conv.PATH_LOG.get(('CSUpscaleTail', (2, 8, 8, 16))) == 'xla'
+
+
+def test_resgroup_ca_cs_padded_matches_xla():
+    """RCAN residual group on a dead-lane padded plan (cs_plan_pad, the
+    scale-3 42x42 recipe class): the CA segment pools must mask the pad
+    tail out of every per-image mean and use the REAL pixel count —
+    values and all gradients vs plain XLA math on an unaligned 6x6."""
+    from srtpu.ops.cs_conv import (ca_gate_reference, cs_plan_pad,
+                                   resgroup_ca_cs, w_cs_batch,
+                                   w_hwio_from_cs)
+    rng = np.random.default_rng(21)
+    B, H, W, C, L, R = 4, 6, 6, 16, 2, 4
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    assert cs_plan(x.shape) is None
+    k, _, s_pad = cs_plan_pad(x.shape)
+    s_valid = H * W * k
+    x_cs = nhwc_to_cs(x, k, s_pad)
+
+    def mk(*shape, s=0.1):
+        return jnp.asarray(rng.standard_normal(shape) * s, jnp.float32)
+
+    w1 = w_cs_batch(mk(L, 3, 3, C, C))
+    b1, b2 = mk(L, C), mk(L, C)
+    w2 = w_cs_batch(mk(L, 3, 3, C, C))
+    wd, bd = mk(L, C, C // R), mk(L, C // R)
+    wu, bu = mk(L, C // R, C, s=0.5), mk(L, C)
+    wc = w_cs_batch(mk(1, 3, 3, C, C))[0]
+    bc = mk(C)
+    args = (x_cs, w1, b1, w2, b2, wd, bd, wu, bu, wc, bc)
+
+    # loss converts CS -> NHWC first: the production contract is that
+    # cotangents entering CS backward kernels are zero on the pad tail
+    # (cs_to_nhwc's VJP / every kernel's zpadded dx maintain it)
+    def f_cs(a):
+        out = resgroup_ca_cs(*a, H, W, k, s_valid)
+        return jnp.sum(jnp.sin(cs_to_nhwc(out, k, H, W)))
+
+    def f_ref(a):
+        xc, w1_, b1_, w2_, b2_, wd_, bd_, wu_, bu_, wc_, bc_ = a
+        xn = cs_to_nhwc(xc, k, H, W)
+        w1h, w2h = w_hwio_from_cs(w1_, C, C), w_hwio_from_cs(w2_, C, C)
+        wch = w_hwio_from_cs(wc_[None], C, C)[0]
+        res = xn
+        for i in range(L):
+            r = jnp.maximum(conv3x3_reference(res, w1h[i], b1_[i]), 0)
+            r = conv3x3_reference(r, w2h[i], b2_[i])
+            r = ca_gate_reference(r, wd_[i], bd_[i], wu_[i], bu_[i])
+            res = res + r
+        out = conv3x3_reference(res, wch, bc_) + xn
+        return jnp.sum(jnp.sin(out))
+
+    np.testing.assert_allclose(f_cs(args), f_ref(args), rtol=1e-4)
+    g_cs = jax.grad(f_cs)(args)
+    g_rf = jax.grad(f_ref)(args)
+    names = ['dx', 'dw1', 'db1', 'dw2', 'db2', 'dwd', 'dbd', 'dwu',
+             'dbu', 'dwc', 'dbc']
+    for nm, a, b in zip(names, g_cs, g_rf):
+        np.testing.assert_allclose(a, b, atol=2e-3, err_msg=nm)
+
+
+def test_rcan_trunk_padded_path_consulted_and_matches(monkeypatch):
+    """RCAN._cs_trunk on an unaligned shape takes cs_plan_pad (the x3
+    recipe) and matches the XLA fallback in values and gradients."""
+    from srtpu.models import create_model
+    from srtpu.ops import cs_conv
+
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.random((4, 6, 6, 3)), jnp.float32)
+    m = create_model('RCAN', scale_factor=2, n_feats=16, n_resblocks=2,
+                     n_resgroups=1, reduction=4, use_pallas='cs')
+    p = m.init(jax.random.PRNGKey(0), x)
+
+    taken = []
+    real = cs_conv.cs_plan_pad
+
+    def loss(params, use_cs):
+        if use_cs:
+            monkeypatch.setattr(cs_conv, 'cs_plan_pad',
+                                lambda s: taken.append(s) or real(s))
+        else:
+            monkeypatch.setattr(cs_conv, 'cs_plan_pad', lambda s: None)
+        return jnp.sum(jnp.sin(m.apply(params, x)))
+
+    v_cs, g_cs = jax.value_and_grad(loss)(p, True)
+    assert taken, 'padded CS path was not consulted'
+    v_rf, g_rf = jax.value_and_grad(loss)(p, False)
+    np.testing.assert_allclose(v_cs, v_rf, rtol=1e-5)
+    flat_cs = jax.tree_util.tree_leaves_with_path(g_cs)
+    flat_rf = jax.tree_util.tree_leaves(g_rf)
+    for (path, a), b in zip(flat_cs, flat_rf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   err_msg=jax.tree_util.keystr(path))
