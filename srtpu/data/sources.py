@@ -69,7 +69,7 @@ def _decode_cache_dir():
     return Path.home() / '.cache' / 'srtpu' / 'decoded'
 
 
-def _decode_cache_path(path) -> Path | None:
+def _decode_cache_path(path, suffix: str = '') -> Path | None:
     root = _decode_cache_dir()
     if root is None:
         return None
@@ -80,7 +80,7 @@ def _decode_cache_path(path) -> Path | None:
     except OSError:
         return None
     key = hashlib.sha1(str(p).encode()).hexdigest()[:24]
-    return root / f'{key}-{st.st_mtime_ns}-{st.st_size}.npy'
+    return root / f'{key}-{st.st_mtime_ns}-{st.st_size}{suffix}.npy'
 
 
 def _cache_load(cache: Path | None) -> np.ndarray | None:
@@ -120,15 +120,21 @@ def _load_image(path) -> np.ndarray:
     return _to_float(raw)
 
 
-def bicubic_downscale(hr: np.ndarray, scale: int) -> np.ndarray:
-    """PIL-equivalent bicubic downscale for LR synthesis
-    (reference srdata.py:227-233 uses torchvision's PIL-backed resize)."""
+def bicubic_downscale_raw(hr: np.ndarray, scale: int) -> np.ndarray:
+    """PIL-equivalent bicubic downscale, returning the uint8 LR
+    (reference srdata.py:227-233 uses torchvision's PIL-backed resize).
+    The PIL output is already uint8-quantized, so caching this raw
+    array (see ImageFolderSource._load) is bit-exact."""
     from PIL import Image
     h, w = hr.shape[:2]
     img = Image.fromarray(
         (np.clip(hr, 0, 1) * 255.0 + 0.5).astype(np.uint8))
     lr = img.resize((w // scale, h // scale), Image.BICUBIC)
-    return _to_float(np.asarray(lr))
+    return np.asarray(lr)
+
+
+def bicubic_downscale(hr: np.ndarray, scale: int) -> np.ndarray:
+    return _to_float(bicubic_downscale_raw(hr, scale))
 
 
 class Source:
@@ -203,7 +209,16 @@ class ImageFolderSource(_CachedSource):
         if self._lr_files is not None:
             lr = _load_image(self._lr_files[index])
         else:
-            lr = bicubic_downscale(hr, self._scale)
+            # synthesized LR is cached too (keyed by the HR file + scale):
+            # the full-size PIL bicubic dominated the warm-cache first
+            # epoch (~measured, PERF.md round 5); the cached uint8 LR is
+            # bit-exact with the PIL output
+            cache = _decode_cache_path(path, f'-x{self._scale}lr')
+            raw = _cache_load(cache)
+            if raw is None:
+                raw = bicubic_downscale_raw(hr, self._scale)
+                _cache_store(cache, raw)
+            lr = _to_float(raw)
         return lr, hr, path.stem
 
 

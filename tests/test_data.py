@@ -353,3 +353,46 @@ def test_decode_cache_disabled(tmp_path, monkeypatch):
     assert sources._decode_cache_path(img_path) is None
     sources._load_image(img_path)  # no cache dir created anywhere in tmp
     assert not list(tmp_path.glob('**/*.npy'))
+
+
+def test_lr_synthesis_cache(tmp_path, monkeypatch):
+    """HR-only directory datasets cache the synthesized bicubic LR too
+    (keyed by HR path + scale): the full-size PIL downscale dominated
+    the warm-cache first epoch (PERF.md round 5). Cache hit is
+    bit-exact (the PIL output is already uint8-quantized) and must not
+    consult PIL at all."""
+    from PIL import Image
+    from srtpu.data import sources
+
+    hr_dir = tmp_path / 'HR'
+    hr_dir.mkdir()
+    rng = np.random.default_rng(1)
+    Image.fromarray((rng.random((32, 24, 3)) * 255).astype(np.uint8)) \
+        .save(hr_dir / 'a.png')
+    cache_dir = tmp_path / 'cache'
+    monkeypatch.setenv('SRTPU_DECODE_CACHE', str(cache_dir))
+
+    src = sources.ImageFolderSource(hr_dir=hr_dir, scale_factor=2)
+    lr1, hr1, _ = src.get(0)
+    assert lr1.shape == (16, 12, 3)
+    # two entries: decoded HR + synthesized LR (distinct keys)
+    assert len(list(cache_dir.glob('*.npy'))) == 2
+    lr_entry = sources._decode_cache_path(hr_dir / 'a.png', '-x2lr')
+    assert lr_entry.exists() and np.load(lr_entry).dtype == np.uint8
+
+    # fresh source (no RAM cache), PIL fully disabled -> cache hits only
+    def boom(*a, **k):
+        raise AssertionError('PIL ran on a cache hit')
+    monkeypatch.setattr(Image, 'open', boom)
+    monkeypatch.setattr(Image, 'fromarray', boom)
+    src2 = sources.ImageFolderSource(hr_dir=hr_dir, scale_factor=2)
+    lr2, hr2, _ = src2.get(0)
+    np.testing.assert_array_equal(lr1, lr2)
+    np.testing.assert_array_equal(hr1, hr2)
+
+    # with the cache disabled the LR synthesis still works (no cache IO)
+    monkeypatch.undo()
+    monkeypatch.setenv('SRTPU_DECODE_CACHE', '0')
+    src3 = sources.ImageFolderSource(hr_dir=hr_dir, scale_factor=2)
+    lr3, _, _ = src3.get(0)
+    np.testing.assert_array_equal(lr1, lr3)
