@@ -63,7 +63,11 @@ REPEATS = 4   # min-of-4 windows: the relay adds ~±2% run-to-run jitter
 #               extra windows cost < 1 s/config and tighten the floor
 
 FAILFAST_S = float(os.environ.get('SRTPU_BENCH_FAILFAST_S', '420'))
-BUDGET_S = float(os.environ.get('SRTPU_BENCH_BUDGET_S', '1800'))
+# 2400 s: the 9-row zoo measured 1867 s warm-cache on 2026-08-21 —
+# 1800 dropped the last row. The r4 driver ran a comparable-length
+# bench to rc=0, and every emitted line is a cumulative snapshot, so
+# an external kill after N rows still records those N rows.
+BUDGET_S = float(os.environ.get('SRTPU_BENCH_BUDGET_S', '2400'))
 
 # use_pallas='cs': transposed channel-sublane kernels — the round-2
 # layout win (66% vs 36% conv MFU at C=64; PERF.md). Ordered headline
@@ -101,17 +105,18 @@ CONFIGS = [
     {'name': 'RCAN-10x16', 'model': 'RCAN', 'headline': False,
      'kwargs': dict(n_feats=64, n_resgroups=10, n_resblocks=16,
                     reduction=16, use_pallas='cs'), 'expect': 1030},
+    # round-4 dead-lane padded x3 tail (42x42 LR, S=3528->3712) — the
+    # unique scale-table row, ordered before the two slow-step rows so a
+    # tight budget drops a redundant-family row, not the x3 evidence
+    {'name': 'EDSR-x3', 'model': 'EDSR', 'headline': False,
+     'kwargs': dict(n_feats=64, n_resblocks=16, use_pallas='cs',
+                    scale_factor=3), 'expect': 5140},
     # round-3 fused whole-RDB kernels: 22.3 vs 27.3 ms/step XLA (PERF.md)
     {'name': 'RDN-B', 'model': 'RDN', 'headline': False,
      'kwargs': dict(rdn_config='B', use_pallas='cs'), 'expect': 715},
     # round-3 phase-major back-projections: 9.6 vs 29.6 ms/step XLA
     {'name': 'DDBPN', 'model': 'DDBPN', 'headline': False,
      'kwargs': dict(use_pallas='cs'), 'expect': 1670},
-    # round-4 dead-lane padded x3 tail (42x42 LR, S=3528->3712):
-    # 3.65 vs 4.97 ms/step XLA (PERF.md scale table)
-    {'name': 'EDSR-x3', 'model': 'EDSR', 'headline': False,
-     'kwargs': dict(n_feats=64, n_resblocks=16, use_pallas='cs',
-                    scale_factor=3), 'expect': 5140},
 ]
 
 
