@@ -148,9 +148,17 @@ class RDN(nn.Module):
         f1c = nhwc_to_cs(f1d, k)
         x = conv3x3_cs_pre(f1c, sfe2_w, sfe2_b, w, k)
         # round-3 fused whole-RDB kernels: the dense buffer stays VMEM-
-        # resident across all C layers (no per-layer concat traffic)
-        outs = rdn_trunk_cs2(x, tuple(ws), tuple(bs), wfs, bfs, w, k)
-        cat = jnp.concatenate(outs, axis=1)            # (Gr, D*G0, S)
+        # resident across all C layers (no per-layer concat traffic).
+        # cs_conv._RDN_FWD selects per-block calls vs the round-5
+        # grid-over-blocks single kernel (A/B: tools/ab_rdn_grid.py)
+        from srtpu.ops import cs_conv as _cs
+        if _cs._RDN_FWD == 'grid':
+            from srtpu.ops.cs_conv import rdn_trunk_cat_cs
+            cat = rdn_trunk_cat_cs(x, tuple(ws), tuple(bs), wfs, bfs,
+                                   w, k)                # (Gr, D*G0, S)
+        else:
+            outs = rdn_trunk_cs2(x, tuple(ws), tuple(bs), wfs, bfs, w, k)
+            cat = jnp.concatenate(outs, axis=1)        # (Gr, D*G0, S)
         y = jnp.einsum('oc,gcs->gos', gff1_w.astype(dtype), cat) \
             + gff1_b[:, None].astype(dtype)
         y = conv3x3_cs_pre(y, gff2_w, gff2_b, w, k) + f1c

@@ -2117,6 +2117,332 @@ rdn_trunk_cs2.defvjp(_rdn2_vjp_fwd, _rdn2_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
+# RDN: grid-over-blocks trunk (round-5 candidate)
+# ---------------------------------------------------------------------------
+#
+# The rdn_trunk_cs2 forward issues D pallas_calls fed by XLA-level
+# w[l:l+1] slices; the round-5 profile charged 750+ async copy/slice ops
+# per step to those slices plus the per-block buf arrays, with ~4.8 ms
+# of the 22.3 ms step unoverlapped (PERF.md RDN close-out). Here the
+# WHOLE trunk forward is ONE pallas_call with grid (G, D): the running
+# activation lives in a VMEM scratch across the D inner grid steps, each
+# step's weights are DMA'd by BlockSpec index maps straight from the
+# stacked arrays (one compiled kernel — the grid index selects the
+# block, nothing is baked into the body), and the D block outputs are
+# written directly in the GFF concat layout (G, D*G0, S) so the XLA
+# concatenate disappears too. The backward keeps the measured-best
+# per-block structure (batched variants measured negative, PERF.md) but
+# reads the (D, G, c_tot, S) buf stack via SCALAR-PREFETCH index maps —
+# the block index is a runtime operand, so one compiled kernel serves
+# all D blocks with no XLA slice copies.
+
+
+def _rdn_all_fwd_kernel(x_ref, w_ref, b_ref, wf_ref, bf_ref,
+                        cat_ref, buf_ref, x3_ref, acc_ref, xrun_ref,
+                        *, w_img, wk, n_layers):
+    d_id = pl.program_id(1)
+    s = x_ref.shape[2]
+    g0 = x_ref.shape[1]
+
+    @pl.when(d_id == 0)
+    def _():
+        xrun_ref[...] = x_ref[0]
+
+    x = xrun_ref[...]
+    buf_ref[0, 0, 0:g0] = x
+    pair = 0
+    for i in range(n_layers):
+        lo = g0 * (i + 1)
+        for j in range(i + 1):
+            _build_x3(buf_ref[0, 0, g0 * j:g0 * (j + 1)], x3_ref, s, w_img)
+            p = jnp.dot(w_ref[0][:, pair * 3 * g0:(pair + 1) * 3 * g0],
+                        x3_ref[...], preferred_element_type=jnp.float32)
+            if j == 0:
+                acc_ref[...] = p
+            else:
+                acc_ref[...] += p
+            pair += 1
+        h = jnp.maximum(_dy_reduce(acc_ref[...], s, wk) + b_ref[0, i], 0.0)
+        buf_ref[0, 0, lo:lo + g0] = h.astype(buf_ref.dtype)
+    fused = jnp.dot(wf_ref[0], buf_ref[0, 0],
+                    preferred_element_type=jnp.float32) + bf_ref[0]
+    out = (x.astype(jnp.float32) + fused).astype(xrun_ref.dtype)
+    cat_ref[0] = out
+    xrun_ref[...] = out
+
+
+def rdn_all_fwd(x_cs, wcm, b, wf, bf, w_img, k, interpret=None):
+    """All D residual dense blocks in one pallas_call (grid (G, D)).
+    Returns (cat (G, D*G0, S) — the block outputs already in GFF concat
+    layout — and buf_all (D, G, c_tot, S) for the backward)."""
+    g, g0, s = x_cs.shape
+    d = wf.shape[0]
+    n_layers = b.shape[1]
+    c_tot = wf.shape[2]
+    n_pairs = wcm.shape[2] // (3 * g0)
+    return pl.pallas_call(
+        partial(_rdn_all_fwd_kernel, w_img=w_img, wk=w_img * k,
+                n_layers=n_layers),
+        grid=(g, d),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec((1, g0, s), lambda i, l: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + wcm.shape[1:], lambda i, l: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + b.shape[1:], lambda i, l: (l, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + wf.shape[1:], lambda i, l: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + bf.shape[1:], lambda i, l: (l, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, g0, s), lambda i, l: (i, l, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c_tot, s), lambda i, l: (l, i, 0, 0),
+                         memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((g, d * g0, s), x_cs.dtype),
+                   jax.ShapeDtypeStruct((d, g, c_tot, s), x_cs.dtype)),
+        scratch_shapes=[pltpu.VMEM((3 * g0, s), x_cs.dtype),
+                        pltpu.VMEM((3 * g0, s), jnp.float32),
+                        pltpu.VMEM((g0, s), x_cs.dtype)],
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * g0 * g0 * s * g * d * (n_pairs + n_layers),
+            bytes_accessed=(g0 + 2 * c_tot) * s * g * d * 2,
+            transcendentals=0),
+    )(x_cs, wcm, b, wf, bf)
+
+
+def _rdb_bwd_chain_kernel_sp(l_ref, buf_ref, g_ref, ct_ref, wt_ref,
+                             wft_ref, dx_ref, dout_ref, dwf_ref, dbf_ref,
+                             db_ref, dbuf_ref, g3_ref, *, w_img, wk,
+                             n_layers):
+    """Scalar-prefetch chain: buf block selected by l_ref at runtime;
+    the incoming cotangent is g_run + the block's slice of the cat-layout
+    cotangent (added in-kernel — no XLA slice/add per block)."""
+    del l_ref
+    gid = pl.program_id(0)
+    s = g_ref.shape[2]
+    g0 = g_ref.shape[1]
+    gf = g_ref[0].astype(jnp.float32) + ct_ref[0].astype(jnp.float32)
+    gc = gf.astype(buf_ref.dtype)
+    buf = buf_ref[0, 0]
+
+    @pl.when(gid == 0)
+    def _():
+        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+        dbf_ref[...] = jnp.zeros_like(dbf_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dwf_ref[...] += jax.lax.dot_general(
+        gc, buf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbf_ref[...] += jnp.sum(gf, axis=1, keepdims=True)
+    dbuf_ref[...] = jnp.dot(wft_ref[0], gc,
+                            preferred_element_type=jnp.float32)
+
+    pair_end = n_layers * (n_layers + 1) // 2
+    for i in reversed(range(n_layers)):
+        lo = g0 * (i + 1)
+        h = buf[lo:lo + g0].astype(jnp.float32)
+        dout = jnp.where(h > 0, dbuf_ref[lo:lo + g0], 0.0)
+        db_ref[i] += jnp.sum(dout, axis=1, keepdims=True)
+        doutb = dout.astype(buf.dtype)
+        dout_ref[0, g0 * i:g0 * (i + 1)] = doutb
+        _build_x3(doutb, g3_ref, s, w_img)
+        pair_end -= i + 1
+        for j in range(i + 1):
+            p_idx = pair_end + j
+            wt_j = wt_ref[0][p_idx * 3 * g0:(p_idx + 1) * 3 * g0]
+            p = jnp.dot(wt_j, g3_ref[...],
+                        preferred_element_type=jnp.float32)
+            dbuf_ref[g0 * j:g0 * (j + 1)] += _dy_reduce(p, s, wk)
+    dx_ref[0] = (dbuf_ref[0:g0] + gf).astype(dx_ref.dtype)
+
+
+def rdb_bwd_chain_all(buf_all, l, g_run, ct_cat, wtcm, wft, w_img, k,
+                      n_layers, interpret=None):
+    """Backward chain of block ``l`` reading the (D, G, c_tot, S) buf
+    stack and the (G, D*G0, S) cat-layout cotangent via scalar-prefetch
+    index maps — one compiled kernel for all D blocks, zero XLA slices."""
+    d, g, c_tot, s = buf_all.shape
+    g0 = g_run.shape[1]
+    lidx = jnp.asarray([l], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 1, c_tot, s),
+                         lambda i, lr: (lr[0], i, 0, 0)),
+            pl.BlockSpec((1, g0, s), lambda i, lr: (i, 0, 0)),
+            pl.BlockSpec((1, g0, s), lambda i, lr: (i, lr[0], 0)),
+            pl.BlockSpec((1,) + wtcm.shape[1:],
+                         lambda i, lr: (lr[0], 0, 0)),
+            pl.BlockSpec((1,) + wft.shape[1:],
+                         lambda i, lr: (lr[0], 0, 0))],
+        out_specs=(
+            pl.BlockSpec((1, g0, s), lambda i, lr: (i, 0, 0)),
+            pl.BlockSpec((1, n_layers * g0, s), lambda i, lr: (i, 0, 0)),
+            pl.BlockSpec((g0, c_tot), lambda i, lr: (0, 0)),
+            pl.BlockSpec((g0, 1), lambda i, lr: (0, 0)),
+            pl.BlockSpec((n_layers, g0, 1), lambda i, lr: (0, 0, 0))),
+        scratch_shapes=[pltpu.VMEM((c_tot, s), jnp.float32),
+                        pltpu.VMEM((3 * g0, s), buf_all.dtype)])
+    return pl.pallas_call(
+        partial(_rdb_bwd_chain_kernel_sp, w_img=w_img, wk=w_img * k,
+                n_layers=n_layers),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        out_shape=(jax.ShapeDtypeStruct((g, g0, s), buf_all.dtype),
+                   jax.ShapeDtypeStruct((g, n_layers * g0, s),
+                                        buf_all.dtype),
+                   jax.ShapeDtypeStruct((g0, c_tot), jnp.float32),
+                   jax.ShapeDtypeStruct((g0, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n_layers, g0, 1), jnp.float32)),
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * g0 * g0 * s * g
+            * (n_layers * (n_layers + 1) // 2 + n_layers),
+            bytes_accessed=3 * c_tot * s * g * 2, transcendentals=0),
+    )(lidx, buf_all, g_run, ct_cat, wtcm, wft)
+
+
+def _rdb_bwd_dw_kernel_sp(l_ref, buf_ref, dout_ref, dwt_ref, x3_ref,
+                          *, w_img, wk, pairs):
+    del l_ref
+    gid = pl.program_id(0)
+    s = buf_ref.shape[3]
+    g0 = dwt_ref.shape[2]
+
+    @pl.when(gid == 0)
+    def _():
+        dwt_ref[...] = jnp.zeros_like(dwt_ref)
+
+    by_i: dict = {}
+    for idx, (i, j) in enumerate(pairs):
+        by_i.setdefault(i, []).append((idx, j))
+    for i, items in by_i.items():
+        doutf = dout_ref[0, g0 * i:g0 * (i + 1)].astype(jnp.float32)
+        grs = [_gs_roll(doutf.astype(buf_ref.dtype), dy, s, wk)
+               for dy in range(3)]
+        for idx, j in items:
+            _build_x3(buf_ref[0, 0, g0 * j:g0 * (j + 1)], x3_ref, s, w_img)
+            x3 = x3_ref[...]
+            for dy in range(3):
+                dwt_ref[idx, dy] += jax.lax.dot_general(
+                    grs[dy], x3, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+
+def rdb_bwd_dw_all(buf_all, l, dout, pairs, w_img, k, g0, interpret=None):
+    """dW pair-chunk accumulation for block ``l`` off the buf stack
+    (scalar-prefetch block select, see rdb_bwd_chain_all)."""
+    d, g, c_tot, s = buf_all.shape
+    n_layers = dout.shape[1] // g0
+    lidx = jnp.asarray([l], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 1, c_tot, s),
+                         lambda i, lr: (lr[0], i, 0, 0)),
+            pl.BlockSpec((1, n_layers * g0, s), lambda i, lr: (i, 0, 0))],
+        out_specs=pl.BlockSpec((len(pairs), 3, g0, 3 * g0),
+                               lambda i, lr: (0, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((3 * g0, s), buf_all.dtype)])
+    return pl.pallas_call(
+        partial(_rdb_bwd_dw_kernel_sp, w_img=w_img, wk=w_img * k,
+                pairs=tuple(pairs)),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        out_shape=jax.ShapeDtypeStruct((len(pairs), 3, g0, 3 * g0),
+                                       jnp.float32),
+        interpret=_interpret(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * g0 * g0 * s * g * len(pairs),
+            bytes_accessed=(c_tot + n_layers * g0) * s * g * 2,
+            transcendentals=0),
+    )(lidx, buf_all, dout)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def rdn_trunk_cat_cs(x_cs, ws, bs, wfs, bfs, w_img, k):
+    """Grid-over-blocks RDN trunk: same stored params as rdn_trunk_cs2,
+    but ONE forward kernel for all D blocks and the result delivered
+    directly in the GFF concat layout (G, D*G0, S)."""
+    out, _ = _rdn3_fwd(x_cs, ws, bs, wfs, bfs, w_img, k)
+    return out
+
+
+def _rdn3_fwd(x_cs, ws, bs, wfs, bfs, w_img, k):
+    dt = x_cs.dtype
+    wsd = [w.astype(dt) for w in ws]
+    wcm = w_rdn_chunk_major(wsd)
+    b = jnp.stack([b_.astype(jnp.float32) for b_ in bs], axis=1)[..., None]
+    cat, buf_all = rdn_all_fwd(x_cs, wcm, b, wfs.astype(dt),
+                               bfs.astype(jnp.float32)[..., None],
+                               w_img, k)
+    return cat, (buf_all, wsd, wfs.astype(dt))
+
+
+def _rdn3_vjp_fwd(x_cs, ws, bs, wfs, bfs, w_img, k):
+    return _rdn3_fwd(x_cs, ws, bs, wfs, bfs, w_img, k)
+
+
+def _rdn3_vjp_bwd(w_img, k, res, ct_cat):
+    buf_all, wsd, wfd = res
+    dt = buf_all.dtype
+    d = buf_all.shape[0]
+    n_layers = len(wsd)
+    g0 = wfd.shape[1]
+    wtcm = w_rdn_chunks_T(wsd)
+    wft = jnp.transpose(wfd, (0, 2, 1))
+    pairs = [(i, j) for i in range(n_layers) for j in range(i + 1)]
+    halves = [pairs[o:o + _DW_PAIRS_PER_CALL]
+              for o in range(0, len(pairs), _DW_PAIRS_PER_CALL)]
+    ctd = ct_cat.astype(dt)
+
+    dwts = [None] * d
+    dwf = [None] * d
+    dbf = [None] * d
+    db = [None] * d
+    g = jnp.zeros_like(buf_all[0, :, :g0])
+    for l in reversed(range(d)):
+        g, dout, dwf[l], dbf_l, db_l = rdb_bwd_chain_all(
+            buf_all, l, g, ctd, wtcm, wft, w_img, k, n_layers)
+        dbf[l] = dbf_l[:, 0]
+        db[l] = db_l[..., 0]
+        dwts[l] = jnp.concatenate(
+            [rdb_bwd_dw_all(buf_all, l, dout, h, w_img, k, g0)
+             for h in halves], axis=0)
+
+    dws_layers = [_dw_pairs_to_layers(dwts[l], n_layers, g0)
+                  for l in range(d)]
+    dws = tuple(jnp.stack([dws_layers[l][i] for l in range(d)])
+                for i in range(n_layers))
+    dbs = tuple(jnp.stack([db[l][i] for l in range(d)])
+                for i in range(n_layers))
+    return (g, dws, dbs, jnp.stack(dwf), jnp.stack(dbf))
+
+
+rdn_trunk_cat_cs.defvjp(_rdn3_vjp_fwd, _rdn3_vjp_bwd)
+
+
+# forward-path selector for the one-process A/B (tools/ab_rdn_grid.py):
+# 'grid' = rdn_trunk_cat_cs (one fwd kernel, scalar-prefetch bwd);
+# 'calls' = rdn_trunk_cs2 (per-block calls, round-3 path).
+# Measured DEAD EVEN on step time (22.30 vs 22.36 ms, one-process A/B,
+# PERF.md round 5) — the XLA slices the grid path eliminates were fully
+# overlapped — but the single-kernel forward compiles ~6x faster
+# (36 s vs 214 s cold) and drops the output concat, so 'grid' ships.
+_RDN_FWD = 'grid'
+
+
+# ---------------------------------------------------------------------------
 # RCAN residual group in CS layout (RCABs + close conv + group skip)
 # ---------------------------------------------------------------------------
 #

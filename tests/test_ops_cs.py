@@ -1182,3 +1182,47 @@ def test_rcan_trunk_padded_path_consulted_and_matches(monkeypatch):
     for (path, a), b in zip(flat_cs, flat_rf):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+def test_rdn_grid_trunk_matches_calls():
+    """Round-5 grid-over-blocks trunk (rdn_trunk_cat_cs: one forward
+    kernel for all D blocks, scalar-prefetch backward off the buf stack)
+    == the shipped per-block-call path (rdn_trunk_cs2 + concat), values
+    and every gradient."""
+    from srtpu.ops.cs_conv import (rdn_trunk_cat_cs, rdn_trunk_cs2,
+                                   w_cs_batch)
+    rng = np.random.default_rng(33)
+    B, H, W = 4, 8, 8
+    G0, C, D = 16, 3, 2
+    x = jnp.asarray(rng.standard_normal((B, H, W, G0)), jnp.float32)
+    k, _ = cs_plan(x.shape)
+    x_cs = nhwc_to_cs(x, k)
+
+    def mk(*shape, s=0.1):
+        return jnp.asarray(rng.standard_normal(shape) * s, jnp.float32)
+
+    ws = tuple(w_cs_batch(mk(D, 3, 3, G0 * (i + 1), G0))
+               for i in range(C))
+    bs = tuple(mk(D, G0) for _ in range(C))
+    wfs = mk(D, G0, G0 * (C + 1))
+    bfs = mk(D, G0)
+    args = (x_cs, ws, bs, wfs, bfs)
+    # weight the cat rows asymmetrically so every block's cotangent slice
+    # differs (exercises the in-kernel ct_cat block select)
+    row_w = jnp.arange(1, D * G0 + 1, dtype=jnp.float32)[None, :, None]
+
+    def f_grid(a):
+        cat = rdn_trunk_cat_cs(a[0], a[1], a[2], a[3], a[4], W, k)
+        return jnp.sum(jnp.sin(cat) * row_w)
+
+    def f_calls(a):
+        outs = rdn_trunk_cs2(a[0], a[1], a[2], a[3], a[4], W, k)
+        cat = jnp.concatenate(outs, axis=1)
+        return jnp.sum(jnp.sin(cat) * row_w)
+
+    np.testing.assert_allclose(f_grid(args), f_calls(args), rtol=1e-5)
+    g_g = jax.tree_util.tree_leaves(jax.grad(f_grid)(args))
+    g_c = jax.tree_util.tree_leaves(jax.grad(f_calls)(args))
+    assert len(g_g) == len(g_c)
+    for a, b in zip(g_g, g_c):
+        np.testing.assert_allclose(a, b, atol=1e-4)
