@@ -44,21 +44,34 @@ def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
     return g.astype(np.float32)
 
 
+def _filter1d(x: jax.Array, kernel: jax.Array, axis: int) -> jax.Array:
+    """1D valid correlation along ``axis`` as k shifted multiply-adds.
+
+    Grouped depthwise convs lower to scalar-ish code on TPU (measured
+    25.4 ms for one full-image SSIM at 2048x1408 — ~25x over its
+    bandwidth bound); k slice-scale-adds are pure VPU elementwise that
+    XLA fuses into one pass over the array."""
+    k = kernel.shape[0]
+    n = x.shape[axis] - k + 1
+    terms = [float(kernel[i])
+             * jax.lax.slice_in_dim(x, i, i + n, axis=axis)
+             for i in range(k)]
+    # pairwise (tree) accumulation: the sigma terms of SSIM cancel
+    # filter(x*x) against filter(x)^2 — a sequential f32 sum loses the
+    # ~1e-4 constant-image identity the golden tests pin
+    while len(terms) > 1:
+        terms = [terms[i] + terms[i + 1]
+                 for i in range(0, len(terms) - 1, 2)] \
+            + ([terms[-1]] if len(terms) % 2 else [])
+    return terms[0]
+
+
 def _filter2(x: jax.Array, kernel: jax.Array) -> jax.Array:
     """Depthwise valid gaussian blur of NHWC, SEPARABLE: two 1D passes
     (11+11 MACs/px) instead of one 2D conv (121 MACs/px) — the gaussian
     window factors exactly, and on full eval images (2048x1408) the five
     blurs per SSIM dominated the whole eval step (PERF.md r5)."""
-    c = x.shape[-1]
-    kh = jnp.tile(kernel[:, None, None, None], (1, 1, 1, c))
-    kw = jnp.tile(kernel[None, :, None, None], (1, 1, 1, c))
-    dn = ('NHWC', 'HWIO', 'NHWC')
-    x = jax.lax.conv_general_dilated(
-        x, kh, window_strides=(1, 1), padding='VALID',
-        feature_group_count=c, dimension_numbers=dn)
-    return jax.lax.conv_general_dilated(
-        x, kw, window_strides=(1, 1), padding='VALID',
-        feature_group_count=c, dimension_numbers=dn)
+    return _filter1d(_filter1d(x, kernel, 1), kernel, 2)
 
 
 def _ssim_per_channel(sr, hr, kernel, k1=0.01, k2=0.03, data_range=1.0):
@@ -78,10 +91,14 @@ def _ssim_per_channel(sr, hr, kernel, k1=0.01, k2=0.03, data_range=1.0):
 
 
 def _window_valid(mask: jax.Array, kernel_size: int) -> jax.Array:
-    """A window is valid iff every covered pixel is valid (min-pool)."""
-    return jax.lax.reduce_window(
-        mask, jnp.inf, jax.lax.min,
-        (1, kernel_size, kernel_size, 1), (1, 1, 1, 1), 'VALID')
+    """A window is valid iff every covered pixel is valid (min-pool).
+    Separable (min over rows then cols — exact for min) as two 1D
+    reduce_windows: 11+11 compares/px instead of 121."""
+    k = kernel_size
+    m = jax.lax.reduce_window(mask, jnp.inf, jax.lax.min,
+                              (1, k, 1, 1), (1, 1, 1, 1), 'VALID')
+    return jax.lax.reduce_window(m, jnp.inf, jax.lax.min,
+                                 (1, 1, k, 1), (1, 1, 1, 1), 'VALID')
 
 
 def ssim(sr: jax.Array, hr: jax.Array, data_range: float = 1.0,
@@ -90,7 +107,9 @@ def ssim(sr: jax.Array, hr: jax.Array, data_range: float = 1.0,
     """Batch-mean SSIM (gaussian window, valid padding — piq semantics)."""
     sr = sr.astype(jnp.float32)
     hr = hr.astype(jnp.float32)
-    kernel = jnp.asarray(_gaussian_kernel(kernel_size, kernel_sigma))
+    # kept as a numpy constant: _filter1d bakes the taps as python
+    # scalars into the fused slice-add graph
+    kernel = _gaussian_kernel(kernel_size, kernel_sigma)
     ssim_map, _ = _ssim_per_channel(sr, hr, kernel, data_range=data_range)
     if mask is not None:
         m = _window_valid(mask, kernel_size)
@@ -110,7 +129,9 @@ def ms_ssim(sr: jax.Array, hr: jax.Array, data_range: float = 1.0,
     """
     sr = sr.astype(jnp.float32)
     hr = hr.astype(jnp.float32)
-    kernel = jnp.asarray(_gaussian_kernel(kernel_size, kernel_sigma))
+    # kept as a numpy constant: _filter1d bakes the taps as python
+    # scalars into the fused slice-add graph
+    kernel = _gaussian_kernel(kernel_size, kernel_sigma)
     weights = jnp.asarray(weights, jnp.float32)
 
     def pool(x):
