@@ -138,12 +138,20 @@ def _feature_filters(ppd: float):
 
 
 def _depthwise_valid(x: jax.Array, kernels: jax.Array) -> jax.Array:
-    """Per-channel valid conv: x NHWC, kernels (k, k, C)."""
-    c = x.shape[-1]
-    k = kernels[:, :, None, :]  # HWIO with I=1
-    return jax.lax.conv_general_dilated(
-        x, k, (1, 1), 'VALID', feature_group_count=c,
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    """Per-channel valid conv: x NHWC, kernels (k, k, C).
+
+    Shifted slice-scale-adds instead of a grouped conv — grouped convs
+    lower to near-scalar TPU code (PERF.md round 5 SSIM finding); each
+    tap is a (C,)-broadcast multiply the XLA fuser handles at VPU
+    bandwidth."""
+    from srtpu.utils.imgops import tree_sum
+    kh, kw, _ = kernels.shape
+    b, hh, ww, c = x.shape
+    n, m = hh - kh + 1, ww - kw + 1
+    terms = [kernels[i, j] * jax.lax.slice(
+        x, (0, i, j, 0), (b, i + n, j + m, c))
+        for i in range(kh) for j in range(kw)]
+    return tree_sum(terms)
 
 
 def _replicate_pad(x: jax.Array, r: int) -> jax.Array:

@@ -34,15 +34,13 @@ def _haar_filters(scales: int):
 
 
 def _conv_same(x: jax.Array, k2d: np.ndarray) -> jax.Array:
+    from srtpu.utils.imgops import _depthwise
     kh, kw = k2d.shape
-    # 'same' padding matching scipy correlate with zero fill
+    # 'same' padding matching scipy correlate with zero fill; the valid
+    # conv itself is slice-scale-adds (grouped convs lower to
+    # near-scalar TPU code — PERF.md round 5)
     pad = ((0, 0), ((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2), (0, 0))
-    xp = jnp.pad(x, pad)
-    c = x.shape[-1]
-    k = jnp.tile(jnp.asarray(k2d)[:, :, None, None], (1, 1, 1, c))
-    return jax.lax.conv_general_dilated(
-        xp, k, (1, 1), 'VALID', feature_group_count=c,
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return _depthwise(jnp.pad(x, pad), k2d)
 
 
 def haarpsi(x: jax.Array, y: jax.Array, scales: int = 3, c: float = 30.0,

@@ -125,15 +125,20 @@ def _l2_pool(x: jax.Array) -> jax.Array:
     """Depthwise L2-pooling: sqrt of hann-windowed average of squares,
     stride 2 (the DISTS paper's anti-aliased pool; piq.DISTS replaces every
     VGG max-pool with this)."""
-    c = x.shape[-1]
+    from srtpu.utils.imgops import tree_sum
     w = np.hanning(5)[1:-1]
     k = np.outer(w, w)
     k = (k / k.sum()).astype(np.float32)
-    kern = jnp.asarray(np.tile(k[:, :, None, None], (1, 1, 1, c)), x.dtype)
-    out = jax.lax.conv_general_dilated(
-        jnp.square(x), kern, (2, 2), [(1, 1), (1, 1)],
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), feature_group_count=c)
-    return jnp.sqrt(out + 1e-12)
+    # strided depthwise conv as 9 strided-slice multiply-adds (grouped
+    # convs lower to near-scalar TPU code — PERF.md round 5)
+    xsq = jnp.pad(jnp.square(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    b, hh, ww, c = xsq.shape
+    oh, ow = (hh - 3) // 2 + 1, (ww - 3) // 2 + 1
+    terms = [float(k[i, j]) * jax.lax.slice(
+        xsq, (0, i, j, 0), (b, i + 2 * (oh - 1) + 1, j + 2 * (ow - 1) + 1, c),
+        (1, 2, 2, 1))
+        for i in range(3) for j in range(3)]
+    return jnp.sqrt(tree_sum(terms) + 1e-12)
 
 
 def vgg_features(params: list[dict], plan, x: jax.Array,
