@@ -200,8 +200,11 @@ def _restore(checkpoint_dir: str, cfg_overrides):
     patch = data.get('patch_size', 128)
     sample = jnp.zeros((1, max(patch // scale, 8), max(patch // scale, 8),
                         3), jnp.float32)
+    # GAN checkpoints store the combined G+D view; SRGAN's __call__ is
+    # generator-only, so the template inits via init_all (srgan.py)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), sample,
-                               composite)
+                               composite,
+                               init_method=getattr(model, 'init_all', None))
     mngr = CheckpointManager(checkpoint_dir,
                              monitor=hp.get('monitor') or '')
     try:

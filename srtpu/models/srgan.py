@@ -158,3 +158,13 @@ class SRGAN(nn.Module):
 
     def discriminate(self, x, train: bool = False):
         return self.discriminator(x, train)
+
+    def init_all(self, x, train: bool = False):
+        """Trace G AND D so ``model.init(..., method=model.init_all)``
+        builds the FULL combined param tree. ``__call__`` is
+        generator-only by design (reference srgan.py:133-134), but GAN
+        checkpoints store the combined G+D view (train/loop.py
+        _gan_eval_view) and restore templates must match it
+        (cli._restore; create_train_state init_method)."""
+        sr = self.generator(x, train)
+        return self.discriminator(sr, train)

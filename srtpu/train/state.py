@@ -53,9 +53,14 @@ class TrainState(struct.PyTreeNode):
 
 def create_train_state(model, optimizer: optax.GradientTransformation,
                        rng: jax.Array, sample_lr: jax.Array,
-                       composite_loss=None) -> TrainState:
-    """Initialize model variables + loss params and build the TrainState."""
-    variables = model.init(rng, sample_lr, train=True)
+                       composite_loss=None, init_method=None) -> TrainState:
+    """Initialize model variables + loss params and build the TrainState.
+
+    ``init_method``: alternate init entry point (flax ``method=``) for
+    models whose ``__call__`` doesn't trace every submodule — SRGAN's
+    forward is generator-only, so restore templates init via
+    ``model.init_all`` to build the checkpoint's combined G+D tree."""
+    variables = model.init(rng, sample_lr, train=True, method=init_method)
     loss_params = {}
     if composite_loss is not None and composite_loss.has_trainable:
         loss_params = composite_loss.init_params(

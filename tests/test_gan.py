@@ -119,8 +119,10 @@ def test_trainer_dispatches_srgan(tmp_path):
 
     # standard restore path (predict/validate) works on GAN checkpoints
     from srtpu.cli import _restore
-    restored, hp, data = _restore(str(tmp_path / 'run' / 'checkpoints'), [])
+    restored, hp, data, _ = _restore(
+        str(tmp_path / 'run' / 'checkpoints'), [])
     assert 'generator' in restored.params
+    assert 'discriminator' in restored.params  # full combined view restored
     # forward = generator only
     sr = restored.apply_fn({'params': restored.params,
                             'batch_stats': restored.batch_stats},
